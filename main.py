@@ -1,0 +1,29 @@
+"""CLI entry point — `python main.py <config.ini>`, reference-compatible
+(cf. reference main.py:6-16: `[Sampling] distributed = True` selects the
+point-cloud IGR trainer, which the reference misnames DistributedExecutor)."""
+
+import sys
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv:
+        print("usage: python main.py <config.ini>")
+        return 2
+    config_file_path = argv[0]
+    print(f"Running with config file: {config_file_path}")
+
+    from sdf_representation_tpu.configgen import Configuration
+    from sdf_representation_tpu.training import Trainer, PointCloudTrainer
+
+    config = Configuration(config_file_path)
+    if config.distributed:
+        executor = PointCloudTrainer(config)
+    else:
+        executor = Trainer(config)
+    executor.run()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

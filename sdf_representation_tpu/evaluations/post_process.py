@@ -1,0 +1,118 @@
+"""Dense-grid accuracy audit of a trained field vs exact mesh distance.
+
+Rebuild of reference evaluations/post_process.py:40-211: evaluate the model
+over the cubesize^3 grid, compare against EXACT signed distances (here from
+the on-device ops/sdf_exact instead of host libigl), and emit the same
+artifact set:
+
+  * thresholded NMSE at 0.01 and 0.00025 (post_process.py:69-70,162-163)
+  * sign accuracy (:171-172)
+  * classification-report CSVs + confusion-matrix heatmap PNGs (:21-38)
+  * mismatching_co-ordinates{1,2}.csv (:181-191)
+  * an appended results.csv row with wall time / epoch / resolution (:194-207)
+
+plus Chamfer distance between the reconstructed and ground-truth surfaces
+(the BASELINE.md parity metric the reference never implemented).
+
+The reference swallowed every exception and returned the sentinel 1000
+(:209-211); this version raises — an eval that cannot run is a failure, not a
+number.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+import pandas as pd
+
+from ..geometry.mesh_io import load_mesh
+from ..ops.grid_eval import evaluate_points, grid_coords
+from ..ops.sdf_exact import signed_distance
+from .metrics import (
+    chamfer_distance,
+    classification_report_frame,
+    confusion_matrix_png,
+    sign_accuracy,
+    thresholded_nmse,
+)
+
+THRESHOLD_1 = 0.01
+THRESHOLD_2 = 0.00025
+
+
+def post_process(trainer, mesh_path: Optional[str] = None) -> Dict[str, float]:
+    c = trainer.config
+    t0 = time.time()
+
+    trainable, epoch = trainer.load_model(best=True)
+    params = trainable["params"]
+
+    if mesh_path is None:
+        mesh_path = (
+            getattr(trainer, "rescaled_path", None)
+            or os.path.join(trainer.main_path, trainer.geometry_name + "_rescaled.stl")
+        )
+        if not os.path.exists(mesh_path):
+            mesh_path = c.geometry
+    mesh = load_mesh(mesh_path)
+
+    n = c.cubesize
+    coords = grid_coords(n)
+    pred = evaluate_points(trainer.model.apply, params, coords, chunk=min(c.ppbatchsize, 262144))
+    true, _ = signed_distance(coords.astype(np.float64), mesh)
+
+    out: Dict[str, float] = {}
+    out["nmse_0.01"] = thresholded_nmse(pred, true, THRESHOLD_1)
+    out["nmse_0.00025"] = thresholded_nmse(pred, true, THRESHOLD_2)
+    out["sign_accuracy"] = sign_accuracy(pred, true)
+
+    save = trainer.postprocess_save_path
+    for tag, thr in (("1", THRESHOLD_1), ("2", THRESHOLD_2)):
+        mism = np.abs(pred - true) > thr
+        pd.DataFrame(coords[mism], columns=["x", "y", "z"]).to_csv(
+            os.path.join(save, f"mismatching_co-ordinates{tag}.csv"), index=False
+        )
+        classification_report_frame(pred, true).to_csv(
+            os.path.join(save, f"classification_report{tag}.csv")
+        )
+        confusion_matrix_png(
+            pred, true, os.path.join(save, f"confusion_matrix{tag}.png")
+        )
+
+    # Chamfer between reconstructed and ground-truth surfaces
+    try:
+        from .reconstruct import reconstruct_mesh
+
+        recon = reconstruct_mesh(trainer.model.apply, params, min(n, 128))
+        if len(recon.faces):
+            rng = np.random.default_rng(0)
+            from ..sampling.sampler import sample_surface_points
+
+            pa = sample_surface_points(recon, 1, rng, area_weighted=True, total_points=20000)
+            pb = sample_surface_points(mesh, 1, rng, area_weighted=True, total_points=20000)
+            out["chamfer"] = chamfer_distance(pa, pb)
+        else:
+            out["chamfer"] = float("inf")
+    except Exception as exc:
+        print(f"chamfer failed: {exc}")
+        out["chamfer"] = float("nan")
+
+    elapsed = time.time() - t0
+    row = {
+        "Time Taken": elapsed,
+        "Epoch": epoch,
+        "Resolution": n,
+        "NMSELoss_Mismatch 0.01": out["nmse_0.01"],
+        "NMSELoss_Mismatch 0.00025": out["nmse_0.00025"],
+        "Accuracy": out["sign_accuracy"],
+        "Chamfer": out["chamfer"],
+    }
+    results_csv = os.path.join(save, "results.csv")
+    pd.DataFrame([row]).to_csv(
+        results_csv, mode="a", header=not os.path.exists(results_csv), index=False
+    )
+    out["time_taken"] = elapsed
+    return out

@@ -1,0 +1,68 @@
+"""Mesh reconstruction from a trained field.
+
+Rebuild of Executor.reconstruct_only (reference executor/executor.py:346-400):
+dense-grid eval (on-device, ops/grid_eval) -> marching tetrahedra
+(ops/marching) -> STL export -> rotating GIF.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.mesh_io import Mesh, save_mesh
+from ..ops.grid_eval import evaluate_grid
+from ..ops.marching import marching_cubes
+
+
+def reconstruct_mesh(
+    apply_fn,
+    params,
+    cubesize: int,
+    chunk: int = 262144,
+    compute_dtype=jnp.float32,
+    level: float = 0.0,
+) -> Mesh:
+    """Evaluate the field on the cubesize^3 grid in [-1,1]^3 and extract the
+    zero level set. spacing = 2/(n-1) so vertices land in [-1, 1]^3
+    (the reference used 2/N, executor.py:388, leaving a half-voxel offset —
+    intentional fix)."""
+    vol = evaluate_grid(apply_fn, params, cubesize, chunk=chunk, compute_dtype=compute_dtype)
+    spacing = 2.0 / (cubesize - 1)
+    verts, faces = marching_cubes(
+        vol, level=level, spacing=(spacing,) * 3, origin=(-1.0, -1.0, -1.0)
+    )
+    return Mesh(verts, faces)
+
+
+def reconstruct_only(trainer, gif: bool = True) -> str:
+    """Load the newest checkpoint, reconstruct, export STL (+ GIF).
+
+    Returns the STL path. cf. executor.py:346-400.
+    """
+    c = trainer.config
+    trainable, epoch = trainer.load_model(best=False)
+    mesh = reconstruct_mesh(
+        trainer.model.apply,
+        trainable["params"],
+        c.cubesize,
+        chunk=min(c.ppbatchsize, 262144),
+    )
+    stl_path = os.path.join(
+        trainer.postprocess_save_path, f"reconstructed_epoch{epoch}.stl"
+    )
+    if len(mesh.faces) == 0:
+        print("reconstruct: empty level set, nothing to export")
+        return stl_path
+    save_mesh(mesh, stl_path)
+    if gif:
+        try:
+            from .generate_gif import plot_stl
+
+            plot_stl(stl_path, stl_path.replace(".stl", ".gif"))
+        except Exception as exc:
+            print(f"GIF generation failed: {exc}")
+    return stl_path

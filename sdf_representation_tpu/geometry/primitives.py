@@ -1,0 +1,116 @@
+"""Procedural test/benchmark geometries (no external assets needed)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .mesh_io import Mesh
+
+
+def make_box(half_extents=(0.5, 0.5, 0.5), center=(0.0, 0.0, 0.0)) -> Mesh:
+    """Axis-aligned box, 12 triangles, outward-oriented."""
+    h = np.asarray(half_extents, dtype=np.float64)
+    c = np.asarray(center, dtype=np.float64)
+    corners = np.array(
+        [[x, y, z] for x in (-1, 1) for y in (-1, 1) for z in (-1, 1)],
+        dtype=np.float64,
+    )  # index bits: x<<2 | y<<1 | z
+    verts = corners * h + c
+    quads = [
+        (0, 1, 3, 2),  # -x
+        (4, 6, 7, 5),  # +x
+        (0, 4, 5, 1),  # -y
+        (2, 3, 7, 6),  # +y
+        (0, 2, 6, 4),  # -z
+        (1, 5, 7, 3),  # +z
+    ]
+    faces = []
+    for a, b, cc, d in quads:
+        faces.append([a, b, cc])
+        faces.append([a, cc, d])
+    return Mesh(verts, np.asarray(faces, dtype=np.int64))
+
+
+def box_sdf(points: np.ndarray, half_extents=(0.5, 0.5, 0.5)) -> np.ndarray:
+    """Analytic SDF of the axis-aligned box (negative inside)."""
+    p = np.abs(np.asarray(points, dtype=np.float64))
+    q = p - np.asarray(half_extents)
+    outside = np.linalg.norm(np.maximum(q, 0.0), axis=-1)
+    inside = np.minimum(np.max(q, axis=-1), 0.0)
+    return outside + inside
+
+
+def make_icosphere(subdivisions: int = 3, radius: float = 0.5) -> Mesh:
+    """Unit icosahedron subdivided + projected to the sphere of given radius."""
+    t = (1.0 + np.sqrt(5.0)) / 2.0
+    verts = np.array(
+        [
+            [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+            [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+            [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1],
+        ],
+        dtype=np.float64,
+    )
+    verts /= np.linalg.norm(verts, axis=1, keepdims=True)
+    faces = np.array(
+        [
+            [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+            [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+            [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+            [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+        ],
+        dtype=np.int64,
+    )
+    for _ in range(subdivisions):
+        edge_mid = {}
+        verts_list = list(verts)
+
+        def midpoint(i, j):
+            key = (min(i, j), max(i, j))
+            if key not in edge_mid:
+                m = verts_list[i] + verts_list[j]
+                m /= np.linalg.norm(m)
+                edge_mid[key] = len(verts_list)
+                verts_list.append(m)
+            return edge_mid[key]
+
+        new_faces = []
+        for a, b, c in faces:
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            new_faces += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
+        verts = np.asarray(verts_list)
+        faces = np.asarray(new_faces, dtype=np.int64)
+    return Mesh(verts * radius, faces)
+
+
+def make_torus(
+    major_radius: float = 0.6,
+    minor_radius: float = 0.25,
+    n_major: int = 64,
+    n_minor: int = 32,
+) -> Mesh:
+    """Torus around the z-axis (genus-1 test geometry)."""
+    u = np.linspace(0, 2 * np.pi, n_major, endpoint=False)
+    v = np.linspace(0, 2 * np.pi, n_minor, endpoint=False)
+    uu, vv = np.meshgrid(u, v, indexing="ij")
+    x = (major_radius + minor_radius * np.cos(vv)) * np.cos(uu)
+    y = (major_radius + minor_radius * np.cos(vv)) * np.sin(uu)
+    z = minor_radius * np.sin(vv)
+    verts = np.stack([x, y, z], axis=-1).reshape(-1, 3)
+    faces = []
+    for i in range(n_major):
+        for j in range(n_minor):
+            a = i * n_minor + j
+            b = ((i + 1) % n_major) * n_minor + j
+            c = ((i + 1) % n_major) * n_minor + (j + 1) % n_minor
+            d = i * n_minor + (j + 1) % n_minor
+            faces += [[a, b, c], [a, c, d]]
+    return Mesh(verts, np.asarray(faces, dtype=np.int64))
+
+
+def torus_sdf(points, major_radius=0.6, minor_radius=0.25):
+    p = np.asarray(points, dtype=np.float64)
+    q = np.stack(
+        [np.sqrt(p[:, 0] ** 2 + p[:, 1] ** 2) - major_radius, p[:, 2]], axis=-1
+    )
+    return np.linalg.norm(q, axis=-1) - minor_radius

@@ -1,0 +1,359 @@
+"""Exact mesh signed distance + normals, computed ON the accelerator.
+
+TPU-native replacement for the reference's host-side
+``igl.signed_distance(points, V, F, return_normals=True)``
+(reference datagenerator/data_generator.py:880-906, evaluations/post_process.py:91).
+
+Design (see SURVEY.md §7 "Hard parts"): the all-pairs point/triangle work is
+reformulated so the heavy terms are *matmuls* that ride the MXU:
+
+  every pairwise dot product needed by both the Eberly closest-point test and
+  the van Oosterom–Strackee solid angle decomposes as
+
+      (vi - P) . (vj - P) = vi.vj - P.vi - P.vj + |P|^2
+      det(v0-P, v1-P, v2-P) = det(v0,v1,v2) - P . (v0xv1 + v1xv2 + v2xv0)
+
+  so a (points x triangles) tile needs only FOUR matmuls
+  (P @ [v0 v1 v2 K]^T) plus per-triangle precomputed scalars; the region
+  logic / sqrt / atan2 are elementwise VPU work on the tile.
+
+Sign is the **generalized winding number** (Jacobson et al. 2013): the summed
+solid angle of all triangles, > 2*pi  => inside. Exact for watertight meshes,
+gracefully degrading for soup — and unlike libigl's pseudonormal test it
+needs no combinatorial structure, so it vectorises perfectly.
+
+Precision: the tile pass runs in float32 (plenty to pick the nearest triangle
+and the sign); the final distance/closest-point for the single winning
+triangle per point is then recomputed on host in float64, so labels carry no
+f32 cancellation error even in the narrow band.
+
+Normal convention: the returned normal is the SDF *gradient*
+sign * (P - closest)/|P - closest|, falling back to the face normal of the
+winning triangle for on-surface points (|d| < eps). (libigl returns the
+closest-primitive pseudonormal instead; for training labels the gradient is
+the quantity the eikonal/normal-consistency losses actually constrain —
+documented divergence.)
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.mesh_io import Mesh
+
+__all__ = ["signed_distance", "winding_number", "closest_point_on_triangles"]
+
+
+# ---------------------------------------------------------------------------
+# Per-triangle precomputation (host, then shipped to device once)
+# ---------------------------------------------------------------------------
+
+def _triangle_tables(vertices: np.ndarray, faces: np.ndarray, tri_chunk: int):
+    """Pack per-triangle constants into (C, T, ...) arrays, padded with
+    far-away degenerate triangles that cannot win the min or bias the sign."""
+    tri = vertices[faces].astype(np.float64)  # (F, 3, 3)
+    F = len(tri)
+    C = max(1, -(-F // tri_chunk))
+    pad = C * tri_chunk - F
+    if pad:
+        far = np.full((pad, 3, 3), 1e9, dtype=np.float64)
+        tri = np.concatenate([tri, far], axis=0)
+    v0, v1, v2 = tri[:, 0], tri[:, 1], tri[:, 2]
+    e0, e1 = v1 - v0, v2 - v0
+    n = np.cross(e0, e1)
+    n_len = np.linalg.norm(n, axis=1, keepdims=True)
+    valid = np.zeros(C * tri_chunk, dtype=np.float32)
+    valid[:F] = 1.0
+
+    def dots(a, b):
+        return np.einsum("ij,ij->i", a, b)
+
+    tables = {
+        "v0": v0, "v1": v1, "v2": v2, "E0": e0, "E1": e1,
+        "a": dots(e0, e0), "b": dots(e0, e1), "c": dots(e1, e1),
+        "e0v0": dots(e0, v0), "e1v0": dots(e1, v0),
+        "n00": dots(v0, v0), "n11": dots(v1, v1), "n22": dots(v2, v2),
+        "n01": dots(v0, v1), "n12": dots(v1, v2), "n20": dots(v2, v0),
+        "d0": dots(v0, np.cross(v1, v2)),
+        "K": np.cross(v0, v1) + np.cross(v1, v2) + np.cross(v2, v0),
+        "N": n / np.maximum(n_len, 1e-300),
+        "valid": valid,
+    }
+    out = {}
+    for k, v in tables.items():
+        v32 = np.asarray(v, dtype=np.float32)
+        out[k] = v32.reshape(C, tri_chunk, *v32.shape[1:])
+    return out, F
+
+
+# ---------------------------------------------------------------------------
+# Eberly point-triangle closest point, tile-vectorised
+# ---------------------------------------------------------------------------
+
+def _eberly_st(a, b, c, d, e):
+    """Clamped minimiser (s, t) of Q(s,t) = a s^2 + 2b st + c t^2 + 2d s + 2e t.
+
+    a,b,c are per-triangle (broadcastable), d,e are per-pair. All operations
+    elementwise, so the same code serves the (M, T) f32 device tile and the
+    (N,) f64 host refinement pass.
+    """
+    xp = jnp if isinstance(d, jnp.ndarray) else np
+    eps = 1e-30
+    det = xp.maximum(a * c - b * b, eps)
+    s = b * e - c * d
+    t = b * d - a * e
+
+    clamp01 = lambda x: xp.clip(x, 0.0, 1.0)
+    inv_a = 1.0 / xp.maximum(a, eps)
+    inv_c = 1.0 / xp.maximum(c, eps)
+    denom_ac = xp.maximum(a - 2.0 * b + c, eps)
+
+    in_lower = (s + t) <= det
+    # region 0
+    s0, t0 = s / det, t / det
+    # edges
+    s_edge_t0 = clamp01(-d * inv_a)        # t = 0 edge
+    t_edge_s0 = clamp01(-e * inv_c)        # s = 0 edge
+    # region 4 (s<0, t<0)
+    r4_s = xp.where(d < 0, s_edge_t0, 0.0)
+    r4_t = xp.where(d < 0, 0.0, t_edge_s0)
+    # region 3 (s<0, t>=0): s=0, t on edge
+    # region 5 (t<0, s>=0): t=0, s on edge
+    lower_s = xp.where(
+        s < 0, xp.where(t < 0, r4_s, 0.0), xp.where(t < 0, s_edge_t0, s0)
+    )
+    lower_t = xp.where(
+        s < 0, xp.where(t < 0, r4_t, t_edge_s0), xp.where(t < 0, 0.0, t0)
+    )
+
+    # upper triangle: s + t > det
+    # region 2 (s<0): compare (b+d) vs (c+e)
+    tmp0_2, tmp1_2 = b + d, c + e
+    r2_s = xp.where(tmp1_2 > tmp0_2, clamp01((tmp1_2 - tmp0_2) / denom_ac), 0.0)
+    r2_t = xp.where(tmp1_2 > tmp0_2, 1.0 - r2_s, t_edge_s0)
+    # region 6 (t<0)
+    tmp0_6, tmp1_6 = b + e, a + d
+    r6_t = xp.where(tmp1_6 > tmp0_6, clamp01((tmp1_6 - tmp0_6) / denom_ac), 0.0)
+    r6_s = xp.where(tmp1_6 > tmp0_6, 1.0 - r6_t, s_edge_t0)
+    # region 1 (diagonal edge)
+    r1_s = clamp01((c + e - b - d) / denom_ac)
+    r1_t = 1.0 - r1_s
+
+    upper_s = xp.where(s < 0, r2_s, xp.where(t < 0, r6_s, r1_s))
+    upper_t = xp.where(s < 0, r2_t, xp.where(t < 0, r6_t, r1_t))
+
+    s_out = xp.where(in_lower, lower_s, upper_s)
+    t_out = xp.where(in_lower, lower_t, upper_t)
+    return s_out, t_out
+
+
+def closest_point_on_triangles(points: np.ndarray, tri: np.ndarray):
+    """Exact (float64) closest point of points[i] on tri[i]. Host refinement
+    pass + reusable test oracle. points: (N,3), tri: (N,3,3) -> (N,3)."""
+    P = np.asarray(points, dtype=np.float64)
+    v0, v1, v2 = tri[:, 0], tri[:, 1], tri[:, 2]
+    e0, e1 = v1 - v0, v2 - v0
+    dvec = v0 - P
+    a = np.einsum("ij,ij->i", e0, e0)
+    b = np.einsum("ij,ij->i", e0, e1)
+    c = np.einsum("ij,ij->i", e1, e1)
+    d = np.einsum("ij,ij->i", e0, dvec)
+    e = np.einsum("ij,ij->i", e1, dvec)
+    s, t = _eberly_st(a, b, c, d, e)
+    return v0 + s[:, None] * e0 + t[:, None] * e1
+
+
+# ---------------------------------------------------------------------------
+# Device tile pass
+# ---------------------------------------------------------------------------
+
+def _tile_pass(P, P2, chunk, base_idx):
+    """One (M points) x (T triangles) tile.
+
+    P: (M,3); P2: (M,1) squared norms; chunk: dict of (T,...) tables.
+    Returns (d2 (M,T), omega (M,)).
+    """
+    # the four MXU matmuls — full f32 (HIGHEST = multi-pass on TPU);
+    # bf16 default precision visibly corrupts near-surface labels
+    mm = lambda A, B: jnp.dot(
+        A, B, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    Pv0 = mm(P, chunk["v0"].T)  # (M, T)
+    Pv1 = mm(P, chunk["v1"].T)
+    Pv2 = mm(P, chunk["v2"].T)
+    PK = mm(P, chunk["K"].T)
+
+    a, b, c = chunk["a"], chunk["b"], chunk["c"]
+    d = chunk["e0v0"] - (Pv1 - Pv0)
+    e = chunk["e1v0"] - (Pv2 - Pv0)
+
+    s, t = _eberly_st(a, b, c, d, e)
+    # distance^2 via the *direct* difference to the closest point: the
+    # expanded quadratic a s^2 + ... + f cancels catastrophically in f32 when
+    # the point sits in the narrow band; the direct form does not.
+    d2 = jnp.zeros_like(Pv0)
+    for k in range(3):
+        ck = (
+            chunk["v0"][:, k]
+            + s * chunk["E0"][:, k]
+            + t * chunk["E1"][:, k]
+        )
+        dk = P[:, k : k + 1] - ck
+        d2 = d2 + dk * dk
+    d2 = jnp.where(chunk["valid"] > 0, d2, jnp.inf)
+
+    # solid angle (van Oosterom–Strackee)
+    la = jnp.sqrt(jnp.maximum(chunk["n00"] - 2.0 * Pv0 + P2, 1e-30))
+    lb = jnp.sqrt(jnp.maximum(chunk["n11"] - 2.0 * Pv1 + P2, 1e-30))
+    lc = jnp.sqrt(jnp.maximum(chunk["n22"] - 2.0 * Pv2 + P2, 1e-30))
+    ab = chunk["n01"] - Pv0 - Pv1 + P2
+    bc = chunk["n12"] - Pv1 - Pv2 + P2
+    ca = chunk["n20"] - Pv2 - Pv0 + P2
+    numer = chunk["d0"] - PK
+    denom = la * lb * lc + ab * lc + bc * la + ca * lb
+    omega = 2.0 * jnp.arctan2(numer, denom) * chunk["valid"]
+    return d2, jnp.sum(omega, axis=1)
+
+
+@partial(jax.jit, static_argnames=("tri_chunk",))
+def _sdf_point_block(P, tables, tri_chunk: int):
+    """All triangles vs one block of points. P: (M, 3) float32.
+
+    Returns (min_d2 (M,), best_idx (M,) int32, winding_sum (M,)).
+    """
+    M = P.shape[0]
+    P2 = jnp.sum(P * P, axis=1, keepdims=True)
+
+    def body(carry, inp):
+        min_d2, best_idx, omega_acc, cidx = carry
+        chunk = inp
+        d2, omega = _tile_pass(P, P2, chunk, cidx)
+        local_min = jnp.min(d2, axis=1)
+        local_arg = jnp.argmin(d2, axis=1).astype(jnp.int32) + cidx * tri_chunk
+        better = local_min < min_d2
+        return (
+            jnp.where(better, local_min, min_d2),
+            jnp.where(better, local_arg, best_idx),
+            omega_acc + omega,
+            cidx + 1,
+        ), None
+
+    init = (
+        jnp.full((M,), jnp.inf, jnp.float32),
+        jnp.zeros((M,), jnp.int32),
+        jnp.zeros((M,), jnp.float32),
+        jnp.int32(0),
+    )
+    (min_d2, best_idx, omega, _), _ = jax.lax.scan(body, init, tables)
+    return min_d2, best_idx, omega
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+def signed_distance(
+    points: np.ndarray,
+    mesh_or_vertices,
+    faces: Optional[np.ndarray] = None,
+    *,
+    return_normals: bool = True,
+    point_chunk: int = 8192,
+    tri_chunk: int = 1024,
+    on_surface_eps: float = 1e-9,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Signed distance (negative inside) and SDF-gradient normals.
+
+    Drop-in for the role of igl.signed_distance in the reference pipeline
+    (data_generator.py:880-906). Accepts a Mesh or (vertices, faces).
+    Handles arbitrary N by tiling; all-pairs work executes on the default JAX
+    backend (TPU when available).
+    """
+    if isinstance(mesh_or_vertices, Mesh):
+        vertices, faces = mesh_or_vertices.vertices, mesh_or_vertices.faces
+    else:
+        vertices = mesh_or_vertices
+        assert faces is not None
+    points = np.ascontiguousarray(points, dtype=np.float64)
+    N = len(points)
+    if N == 0:
+        return np.zeros(0), np.zeros((0, 3))
+
+    tables_np, F = _triangle_tables(vertices, faces, tri_chunk)
+    tables = {k: jnp.asarray(v) for k, v in tables_np.items()}
+
+    # pad points to a multiple of point_chunk
+    M = point_chunk
+    n_blocks = -(-N // M)
+    P_pad = np.zeros((n_blocks * M, 3), dtype=np.float32)
+    P_pad[:N] = points.astype(np.float32)
+
+    min_d2 = np.empty(n_blocks * M, np.float32)
+    best_idx = np.empty(n_blocks * M, np.int32)
+    omega = np.empty(n_blocks * M, np.float32)
+    for i in range(n_blocks):
+        blk = jnp.asarray(P_pad[i * M : (i + 1) * M])
+        a, b, w = _sdf_point_block(blk, tables, tri_chunk)
+        min_d2[i * M : (i + 1) * M] = np.asarray(a)
+        best_idx[i * M : (i + 1) * M] = np.asarray(b)
+        omega[i * M : (i + 1) * M] = np.asarray(w)
+
+    min_d2, best_idx, omega = min_d2[:N], best_idx[:N], omega[:N]
+    best_idx = np.clip(best_idx, 0, F - 1)
+
+    # host float64 refinement on the winning triangle only
+    tri = vertices[np.asarray(faces)[best_idx]].astype(np.float64)  # (N,3,3)
+    closest = closest_point_on_triangles(points, tri)
+    diff = points - closest
+    dist = np.linalg.norm(diff, axis=1)
+
+    inside = omega > (2.0 * math.pi)  # winding number > 1/2
+    sign = np.where(inside, -1.0, 1.0)
+    sdf = sign * dist
+
+    if not return_normals:
+        return sdf, None
+
+    face_n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    face_n /= np.maximum(np.linalg.norm(face_n, axis=1, keepdims=True), 1e-300)
+    grad = np.where(
+        dist[:, None] > on_surface_eps,
+        sign[:, None] * diff / np.maximum(dist[:, None], 1e-300),
+        face_n,
+    )
+    return sdf, grad
+
+
+def winding_number(
+    points: np.ndarray,
+    mesh_or_vertices,
+    faces: Optional[np.ndarray] = None,
+    *,
+    point_chunk: int = 8192,
+    tri_chunk: int = 1024,
+) -> np.ndarray:
+    """Generalized winding number of each point w.r.t. the mesh (~1 inside)."""
+    if isinstance(mesh_or_vertices, Mesh):
+        vertices, faces = mesh_or_vertices.vertices, mesh_or_vertices.faces
+    else:
+        vertices = mesh_or_vertices
+    points = np.ascontiguousarray(points, dtype=np.float64)
+    N = len(points)
+    tables_np, _ = _triangle_tables(vertices, faces, tri_chunk)
+    tables = {k: jnp.asarray(v) for k, v in tables_np.items()}
+    M = point_chunk
+    n_blocks = -(-N // M)
+    P_pad = np.zeros((n_blocks * M, 3), dtype=np.float32)
+    P_pad[:N] = points.astype(np.float32)
+    omega = np.empty(n_blocks * M, np.float32)
+    for i in range(n_blocks):
+        _, _, w = _sdf_point_block(jnp.asarray(P_pad[i * M : (i + 1) * M]), tables, tri_chunk)
+        omega[i * M : (i + 1) * M] = np.asarray(w)
+    return omega[:N] / (4.0 * math.pi)

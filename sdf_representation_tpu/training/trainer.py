@@ -1,0 +1,460 @@
+"""TPU-native training executor.
+
+Rebuild of the reference Executor (reference executor/executor.py:23-499) with
+an XLA-shaped training loop:
+
+  * the WHOLE dataset lives in HBM; every epoch is ONE jitted call —
+    on-device shuffle (jax.random.permutation) + lax.scan over batches —
+    instead of the reference's per-batch host->device copies
+    (executor.py:174) and Python batch loop.
+  * optax Adam; gradient w.r.t. params AND any loss-aux scalars (the
+    GaussBonnet Euler characteristic, cf. executor.py:131-137).
+  * optional jax.sharding.Mesh: batches sharded over the 'data' axis, grads
+    all-reduced by XLA over ICI (replaces nn.DataParallel,
+    executor.py:53-55).
+  * validation actually runs (the reference's val loop is commented out and
+    val_loss = train_loss, executor.py:187-198).
+  * checkpoints carry optimizer state through resume (fixes executor.py:160)
+    and are device-agnostic msgpack (see checkpoint.py).
+  * the reference's debug aid torch.autograd.set_detect_anomaly
+    (executor.py:159) maps to the config-gated jax_debug_nans switch.
+
+Reference bugs intentionally not replicated (each regression-tested):
+exit(1) after the first batch (executor.py:181), optimizer-state loss on
+resume (:160), disabled validation (:188-198). Partial final batches are
+dropped each epoch (shapes must be static under jit); with on-device
+shuffling every point is still visited across epochs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..configgen.config_reader import Configuration
+from ..data.dataset import load_data, SDFDataset
+from ..parallel.mesh import shard_batch
+from ..utils.files import create_directory
+from . import checkpoint as ckpt
+
+
+# ---------------------------------------------------------------------------
+# jitted step/epoch factories (also used by __graft_entry__ and tests)
+# ---------------------------------------------------------------------------
+
+def _bind_apply(model, rng):
+    """Per-step apply closure; models with dropout get the step rng."""
+    import inspect
+
+    if "train" in inspect.signature(model.apply).parameters:
+        return lambda p, x: model.apply(p, x, rng=rng, train=True)
+    return model.apply
+
+
+def make_train_step(
+    model,
+    loss_fn,
+    optimizer: optax.GradientTransformation,
+    mesh=None,
+) -> Callable:
+    """(trainable, opt_state, x, y, rng, epoch) -> (trainable, opt_state, loss).
+
+    `trainable` = {"params": ..., "aux": {...}} so loss-owned scalars train too.
+    """
+
+    def step(trainable, opt_state, xb, yb, rng, epoch):
+        xb = shard_batch(xb, mesh)
+        yb = shard_batch(yb, mesh)
+
+        def objective(tr):
+            apply_fn = _bind_apply(model, rng)
+            return loss_fn(
+                tr["params"], apply_fn, xb, yb, epoch, rng=rng, aux=tr["aux"]
+            )
+
+        loss_val, grads = jax.value_and_grad(objective)(trainable)
+        updates, opt_state = optimizer.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return trainable, opt_state, loss_val
+
+    return step
+
+
+def make_epoch_fn(
+    model,
+    loss_fn,
+    optimizer: optax.GradientTransformation,
+    batch_size: int,
+    n_points: int,
+    mesh=None,
+) -> Callable:
+    """One full epoch as a single jitted call: shuffle + scan over batches."""
+    n_batches = max(1, n_points // batch_size)
+    step = make_train_step(model, loss_fn, optimizer, mesh)
+
+    @jax.jit
+    def epoch_fn(trainable, opt_state, X, Y, rng, epoch):
+        perm_rng, step_rng = jax.random.split(rng)
+        perm = jax.random.permutation(perm_rng, n_points)[: n_batches * batch_size]
+        perm = perm.reshape(n_batches, batch_size)
+
+        def body(carry, idx):
+            trainable, opt_state, i = carry
+            rng_i = jax.random.fold_in(step_rng, i)
+            xb = jnp.take(X, idx, axis=0)
+            yb = jnp.take(Y, idx, axis=0)
+            trainable, opt_state, loss_val = step(
+                trainable, opt_state, xb, yb, rng_i, epoch
+            )
+            return (trainable, opt_state, i + 1), loss_val
+
+        (trainable, opt_state, _), losses = jax.lax.scan(
+            body, (trainable, opt_state, 0), perm
+        )
+        return trainable, opt_state, jnp.mean(losses)
+
+    return epoch_fn
+
+
+def make_val_fn(model, loss_fn, batch_size: int, n_points: int, mesh=None) -> Callable:
+    n_batches = max(1, n_points // batch_size)
+    used = min(n_points, n_batches * batch_size)
+
+    @jax.jit
+    def val_fn(trainable, X, Y, epoch):
+        Xs = X[:used].reshape(n_batches, -1, X.shape[-1])
+        Ys = Y[:used].reshape(n_batches, -1, Y.shape[-1])
+
+        def body(_, xy):
+            xb, yb = xy
+            xb = shard_batch(xb, mesh)
+            yb = shard_batch(yb, mesh)
+            apply_fn = _bind_apply(model, None)
+            lv = loss_fn(
+                trainable["params"], apply_fn, xb, yb, epoch,
+                rng=jax.random.PRNGKey(0), aux=trainable["aux"],
+            )
+            return None, lv
+
+        _, losses = jax.lax.scan(body, None, (Xs, Ys))
+        return jnp.mean(losses)
+
+    return val_fn
+
+
+# ---------------------------------------------------------------------------
+# Trainer
+# ---------------------------------------------------------------------------
+
+class Trainer:
+    """Orchestrates sampling -> training -> checkpointing for one config.
+
+    Directory-tree provenance matches the reference
+    (executor/executor.py:29-48): hyperparameters encoded in folder names,
+    with models/ postprocess/ plots/ leaves.
+    """
+
+    def __init__(self, config: Configuration, mesh=None, init_seed: int = 0):
+        self.config = config
+        self.mesh = mesh
+        self.init_seed = init_seed
+        self.geometry_name = config.name
+
+        c = config
+        self.main_path = create_directory(
+            os.path.join(c.directory, f"r_{self.geometry_name}")
+        )
+        self.data_path = create_directory(
+            os.path.join(
+                self.main_path,
+                f"config_uniform{c.uniform_points},surface_{c.surface},"
+                f"narrowband_{c.narrowband},narrowband_width_{c.narrowband_width}",
+            )
+        )
+        with open(os.path.join(self.data_path, "info.txt"), "w") as f:
+            f.write(
+                f"config_uniform{c.uniform_points},surface_{c.surface},"
+                f"narrowband_{c.narrowband},narrowband_width_{c.narrowband_width}"
+            )
+        self.model_path = create_directory(
+            os.path.join(
+                self.data_path,
+                f"{c.model_name},hidden_dim_{c.hidden_dim},"
+                f"num_hidden_layers_{c.num_hidden_layers},"
+                f"skip_connection_{c.skip_connection},beta_{c.beta},"
+                f"geometric_init_{c.geometric_init}",
+            )
+        )
+        self.loss_path = create_directory(
+            os.path.join(self.model_path, f"loss_{c.loss_name}")
+        )
+        self.train_path = create_directory(
+            os.path.join(
+                self.loss_path,
+                f"lr_{c.lr},epochs_{c.epochs},min_epochs_{c.minepochs},"
+                f"batch_size_{c.batchsize}",
+            )
+        )
+        self.model_save_path = create_directory(
+            os.path.join(self.train_path, "models")
+        )
+        self.postprocess_save_path = create_directory(
+            os.path.join(self.train_path, "postprocess")
+        )
+        self.plot_save_path = create_directory(os.path.join(self.train_path, "plots"))
+
+        self.model = config.make_model()
+        self.loss = config.make_loss()
+
+        if getattr(config, "debug_nans", False):
+            jax.config.update("jax_debug_nans", True)
+
+    # -- sampling ----------------------------------------------------------
+
+    def rescale(self) -> str:
+        from ..geometry.rescale import rescale_file
+
+        self.rescaled_path = os.path.join(
+            self.main_path, self.geometry_name + "_rescaled.stl"
+        )
+        return rescale_file(self.config.geometry, self.rescaled_path)
+
+    def sampling(self) -> None:
+        """cf. Executor.sampling (executor.py:86-111); the reference's
+        existence check looked for a file literally named "narrow" (no .csv)
+        — fixed here."""
+        c = self.config
+        if "pcd" in c.name:
+            return
+        if any(
+            os.path.exists(os.path.join(self.data_path, f))
+            for f in ("uniform.csv", "surface.csv", "narrow.csv")
+        ):
+            return
+        if c.two_dim:
+            from ..sampling.sampler import generate_points_circle
+
+            generate_points_circle(
+                c.uniform_points, c.surface, c.narrowband, c.narrowband_width,
+                save_path=self.data_path,
+            )
+            return
+        geometry_path = self.rescale() if c.rescale else c.geometry
+        from ..sampling.sampler import generate_signed_distance_data
+
+        df_uniform, df_surface, df_narrow = generate_signed_distance_data(
+            geometry_path, c.uniform_points, c.surface, c.narrowband,
+            c.narrowband_width,
+        )
+        df_uniform.to_csv(os.path.join(self.data_path, "uniform.csv"))
+        df_surface.to_csv(os.path.join(self.data_path, "surface.csv"))
+        df_narrow.to_csv(os.path.join(self.data_path, "narrow.csv"))
+
+    # -- training ----------------------------------------------------------
+
+    def _init_trainable(self) -> Dict[str, Any]:
+        params = self.model.init(jax.random.PRNGKey(self.init_seed))
+        aux = {}
+        for name in getattr(self.loss, "needs_aux", ()):
+            # learnable scalar, e.g. GaussBonnet Euler characteristic
+            aux[name] = jnp.asarray(2.0)
+        return {"params": params, "aux": aux}
+
+    def train(self, dataset: Optional[SDFDataset] = None) -> Dict[str, Any]:
+        c = self.config
+        if dataset is None:
+            try:
+                self.sampling()
+            except Exception as exc:
+                print(f"Sampling failed: {exc}")
+                raise
+            dataset = load_data(self.data_path, c)
+
+        X = jnp.asarray(dataset.train_x)
+        Y = jnp.asarray(dataset.train_y)
+        Xv = jnp.asarray(dataset.val_x)
+        Yv = jnp.asarray(dataset.val_y)
+
+        optimizer = optax.adam(c.lr)
+        trainable = self._init_trainable()
+        opt_state = optimizer.init(trainable)
+
+        start_epoch = 0
+        train_losses: list = []
+        val_losses: list = []
+        best_val = float("inf")
+
+        best_path = os.path.join(self.model_save_path, "best_model.ckpt")
+        if c.contd and os.path.exists(best_path):
+            template = {
+                "trainable": trainable,
+                "opt_state": opt_state,
+                "epoch": 0,
+                "train_losses": np.zeros(0, np.float64),
+                "val_losses": np.zeros(0, np.float64),
+                "best_val": 0.0,
+            }
+            state = ckpt.load_checkpoint(best_path, template)
+            trainable = state["trainable"]
+            opt_state = state["opt_state"]  # optimizer state RESUMES (fix)
+            start_epoch = int(state["epoch"]) + 1
+            train_losses = list(np.asarray(state["train_losses"]))
+            val_losses = list(np.asarray(state["val_losses"]))
+            best_val = float(state["best_val"])
+            print(f"Resumed from {best_path} at epoch {start_epoch}")
+
+        batch = min(c.batchsize, dataset.n_train)
+        epoch_fn = make_epoch_fn(
+            self.model, self.loss, optimizer, batch, dataset.n_train, self.mesh
+        )
+        val_fn = make_val_fn(self.model, self.loss, batch, max(1, dataset.n_val), self.mesh)
+
+        loss_log = os.path.join(self.train_path, "train_loss.txt")
+        epochs_no_improve = 0
+        rng = jax.random.PRNGKey(self.init_seed + 1)
+        t_start = time.time()
+        points_per_epoch = (dataset.n_train // batch) * batch
+
+        final_epoch = start_epoch - 1
+        for epoch in range(start_epoch, c.epochs):
+            final_epoch = epoch
+            rng, erng = jax.random.split(rng)
+            trainable, opt_state, train_loss = epoch_fn(
+                trainable, opt_state, X, Y, erng, epoch
+            )
+            if dataset.n_val > 0:
+                val_loss = val_fn(trainable, Xv, Yv, epoch)
+            else:
+                val_loss = train_loss
+            train_loss = float(train_loss)
+            val_loss = float(val_loss)
+            train_losses.append(train_loss)
+            val_losses.append(val_loss)
+
+            with open(loss_log, "a") as f:
+                f.write(f"{epoch} {train_loss} {val_loss}\n")
+
+            state = {
+                "trainable": trainable,
+                "opt_state": opt_state,
+                "epoch": epoch,
+                "train_losses": np.asarray(train_losses),
+                "val_losses": np.asarray(val_losses),
+                "best_val": min(best_val, val_loss),
+            }
+            if val_loss < best_val:
+                best_val = val_loss
+                epochs_no_improve = 0
+                ckpt.save_checkpoint(best_path, state)
+            else:
+                epochs_no_improve += 1
+
+            if (epoch + 1) % c.checkpointing == 0:
+                ckpt.save_checkpoint(
+                    os.path.join(self.model_save_path, f"model_epoch{epoch}.ckpt"),
+                    state,
+                )
+                self._plot_losses(train_losses, val_losses)
+
+            if epoch >= c.minepochs and epochs_no_improve >= c.patience:
+                print(f"Early stopping at epoch {epoch}")
+                break
+
+        elapsed = time.time() - t_start
+        n_epochs_run = final_epoch - start_epoch + 1
+        throughput = points_per_epoch * n_epochs_run / max(elapsed, 1e-9)
+        print(
+            f"Training done: {n_epochs_run} epochs, {elapsed:.1f}s, "
+            f"{throughput:,.0f} points/sec"
+        )
+        self._plot_losses(train_losses, val_losses)
+        return {
+            "trainable": trainable,
+            "opt_state": opt_state,
+            "train_losses": train_losses,
+            "val_losses": val_losses,
+            "best_val": best_val,
+            "epochs_run": n_epochs_run,
+            "points_per_sec": throughput,
+            "last_epoch": final_epoch,
+        }
+
+    # -- checkpoint loading -------------------------------------------------
+
+    def load_model(self, best: bool = True):
+        """Returns (trainable, epoch). cf. Executor.load_model
+        (executor.py:258-300)."""
+        trainable = self._init_trainable()
+        optimizer = optax.adam(self.config.lr)
+        template = {
+            "trainable": trainable,
+            "opt_state": optimizer.init(trainable),
+            "epoch": 0,
+            "train_losses": np.zeros(0, np.float64),
+            "val_losses": np.zeros(0, np.float64),
+            "best_val": 0.0,
+        }
+        best_path = os.path.join(self.model_save_path, "best_model.ckpt")
+        if best and os.path.exists(best_path):
+            state = ckpt.load_checkpoint(best_path, template)
+            return state["trainable"], int(state["epoch"])
+        newest = ckpt.latest_epoch_checkpoint(self.model_save_path)
+        if newest is None:
+            if os.path.exists(best_path):
+                state = ckpt.load_checkpoint(best_path, template)
+                return state["trainable"], int(state["epoch"])
+            raise FileNotFoundError(
+                f"No checkpoint found in {self.model_save_path}"
+            )
+        state = ckpt.load_checkpoint(newest[0], template)
+        return state["trainable"], newest[1]
+
+    # -- plots -------------------------------------------------------------
+
+    def _plot_losses(self, train_losses, val_losses) -> None:
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            fig, ax = plt.subplots()
+            ax.plot(train_losses, label="train")
+            ax.plot(val_losses, label="val")
+            ax.set_xlabel("epoch")
+            ax.set_ylabel("loss")
+            ax.set_yscale("log")
+            ax.legend()
+            fig.savefig(os.path.join(self.plot_save_path, "loss_curve.png"), dpi=100)
+            plt.close(fig)
+        except Exception as exc:
+            print(f"loss plot failed: {exc}")
+
+    # -- mode dispatch (cf. Executor.run, executor.py:481-499) -------------
+
+    def run(self):
+        c = self.config
+        if c.samplingonly:
+            return self.sampling()
+        if c.ppo:
+            if c.reconstruct:
+                from ..evaluations.reconstruct import reconstruct_only
+
+                return reconstruct_only(self)
+            from ..evaluations.post_process import post_process
+
+            return post_process(self)
+        result = self.train()
+        if c.two_dim:
+            from ..evaluations.two_dim import two_dim_contour
+
+            two_dim_contour(self)
+        return result

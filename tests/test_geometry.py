@@ -1,0 +1,110 @@
+"""Mesh I/O round-trips, mesh math, rescaling."""
+
+import numpy as np
+import pytest
+
+from sdf_representation_tpu.geometry import Mesh, load_mesh, save_mesh, rescale_mesh
+from sdf_representation_tpu.geometry.primitives import make_box, make_icosphere
+
+
+def test_box_volume_and_area():
+    m = make_box(half_extents=(0.5, 0.5, 0.5))
+    assert m.volume == pytest.approx(1.0)
+    assert m.face_areas().sum() == pytest.approx(6.0)
+
+
+def test_face_normals_outward():
+    m = make_box()
+    n = m.face_normals()
+    centers = m.triangles.mean(axis=1)
+    # outward orientation: normal . center > 0 for a box centered at origin
+    assert np.all(np.einsum("ij,ij->i", n, centers) > 0)
+
+
+def test_stl_roundtrip(tmp_path):
+    m = make_icosphere(1, radius=0.4)
+    p = str(tmp_path / "s.stl")
+    save_mesh(m, p)
+    m2 = load_mesh(p)
+    assert len(m2.faces) == len(m.faces)
+    assert m2.volume == pytest.approx(m.volume, rel=1e-5)
+    assert np.allclose(m2.bounds, m.bounds, atol=1e-6)
+
+
+def test_obj_roundtrip(tmp_path):
+    m = make_box()
+    p = str(tmp_path / "b.obj")
+    save_mesh(m, p)
+    m2 = load_mesh(p)
+    np.testing.assert_allclose(m2.vertices, m.vertices, atol=1e-7)
+    np.testing.assert_array_equal(m2.faces, m.faces)
+
+
+def test_ply_roundtrip(tmp_path):
+    m = make_box()
+    p = str(tmp_path / "b.ply")
+    save_mesh(m, p)
+    m2 = load_mesh(p)
+    np.testing.assert_allclose(m2.vertices, m.vertices, atol=1e-6)
+    np.testing.assert_array_equal(m2.faces, m.faces)
+
+
+def test_ply_binary_read(tmp_path):
+    """Write a binary_little_endian PLY by hand and read it back."""
+    m = make_box()
+    p = tmp_path / "bin.ply"
+    with open(p, "wb") as f:
+        f.write(
+            (
+                "ply\nformat binary_little_endian 1.0\n"
+                f"element vertex {len(m.vertices)}\n"
+                "property float x\nproperty float y\nproperty float z\n"
+                f"element face {len(m.faces)}\n"
+                "property list uchar int vertex_indices\nend_header\n"
+            ).encode()
+        )
+        f.write(m.vertices.astype("<f4").tobytes())
+        for face in m.faces:
+            f.write(np.uint8(3).tobytes())
+            f.write(face.astype("<i4").tobytes())
+    m2 = load_mesh(str(p))
+    np.testing.assert_allclose(m2.vertices, m.vertices, atol=1e-6)
+    np.testing.assert_array_equal(m2.faces, m.faces)
+
+
+def test_ascii_stl_read(tmp_path):
+    m = make_box()
+    p = tmp_path / "a.stl"
+    with open(p, "w") as f:
+        f.write("solid test\n")
+        for tri, n in zip(m.triangles, m.face_normals()):
+            f.write(f"facet normal {n[0]} {n[1]} {n[2]}\n outer loop\n")
+            for v in tri:
+                f.write(f"  vertex {v[0]} {v[1]} {v[2]}\n")
+            f.write(" endloop\nendfacet\n")
+        f.write("endsolid test\n")
+    m2 = load_mesh(str(p))
+    assert m2.volume == pytest.approx(m.volume, rel=1e-6)
+
+
+def test_welding_merges_soup():
+    m = make_box()
+    soup = Mesh(m.triangles.reshape(-1, 3), np.arange(36).reshape(-1, 3))
+    welded = soup.welded()
+    assert len(welded.vertices) == 8
+    assert welded.volume == pytest.approx(m.volume)
+
+
+def test_rescale_semantics():
+    m = make_box(half_extents=(3.0, 1.0, 2.0), center=(5.0, -2.0, 0.0))
+    r = rescale_mesh(m)
+    # volume = half of the [-1,1]^3 cube unless the shrink loop kicked in
+    assert abs(r.volume) <= 4.0 + 1e-9
+    assert np.max(np.abs(r.vertices)) + 0.15 < 1.0 + 1e-6
+    # centered
+    np.testing.assert_allclose(r.vertices.mean(0), 0.0, atol=1e-9)
+
+
+def test_unsupported_format_raises(tmp_path):
+    with pytest.raises(ValueError):
+        load_mesh(str(tmp_path / "x.xyz"))

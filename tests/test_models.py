@@ -1,0 +1,154 @@
+"""Model unit tests: architecture shapes, geometric-init statistics, forward
+semantics (skip/sqrt2, softplus-beta vs relu+tanh), jit/grad compatibility."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdf_representation_tpu.models import (
+    ImplicitNet,
+    ImplicitNetCompatible,
+    FeedForwardNetwork,
+    KAN,
+    get_model_class,
+)
+
+
+def test_layer_shapes_with_skip():
+    m = ImplicitNet(d_in=3, hidden_dims=(512,) * 8, skip_in=(4,))
+    shapes = m.layer_shapes()
+    assert len(shapes) == 9
+    assert shapes[0] == (3, 512)
+    assert shapes[3] == (512, 509)  # feeds the skip layer: out shrinks by d_in
+    assert shapes[4] == (512, 512)  # skip layer input is concat'ed back to 512
+    assert shapes[-1] == (512, 1)
+
+
+def test_geometric_init_statistics():
+    m = ImplicitNet(d_in=3, hidden_dims=(256,) * 4, skip_in=(), beta=100.0)
+    params = m.init(jax.random.PRNGKey(0))
+    # hidden layers: bias 0, weight std ~ sqrt(2)/sqrt(fan_out)
+    w0 = np.asarray(params["layers"][0]["w"])
+    assert np.allclose(np.asarray(params["layers"][0]["b"]), 0.0)
+    assert abs(w0.std() - math.sqrt(2) / math.sqrt(256)) < 0.02
+    assert abs(w0.mean()) < 0.02
+    # final layer: mean sqrt(pi)/sqrt(fan_in), tiny std, bias = -radius_init
+    wl = np.asarray(params["layers"][-1]["w"])
+    assert abs(wl.mean() - math.sqrt(math.pi) / math.sqrt(256)) < 1e-3
+    assert wl.std() < 1e-4
+    assert np.allclose(np.asarray(params["layers"][-1]["b"]), -1.0)
+
+
+def test_geometric_init_approximates_sphere():
+    """Geometric init should make f(x) ~ |x| - r (the IGR property)."""
+    m = ImplicitNet(d_in=3, hidden_dims=(512,) * 8, skip_in=(4,), beta=100.0)
+    params = m.init(jax.random.PRNGKey(1))
+    pts = np.random.default_rng(0).uniform(-1, 1, (256, 3)).astype(np.float32)
+    vals = np.asarray(m.apply(params, jnp.asarray(pts)))
+    expected = np.linalg.norm(pts, axis=1) - 1.0
+    corr = np.corrcoef(vals, expected)[0, 1]
+    assert corr > 0.95
+
+
+def test_forward_shapes_and_jit():
+    m = ImplicitNet(d_in=3, hidden_dims=(64,) * 3, skip_in=(2,), beta=100.0)
+    params = m.init(jax.random.PRNGKey(0))
+    x = jnp.ones((17, 3))
+    out = m.apply(params, x)
+    assert out.shape == (17,)
+    out_jit = jax.jit(m.apply)(params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_jit), rtol=1e-6)
+
+
+def test_relu_tanh_mode_bounded():
+    """beta == 0 -> ReLU activations + tanh final output in (-1, 1)."""
+    m = ImplicitNet(d_in=3, hidden_dims=(64,) * 3, skip_in=(), beta=0.0,
+                    geometric_init=False)
+    params = m.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(2), (128, 3), minval=-5, maxval=5)
+    out = np.asarray(m.apply(params, x))
+    assert np.all(out > -1.0) and np.all(out < 1.0)
+
+
+def test_skip_concat_scaling():
+    """The skip layer concatenates the input and divides by sqrt(2)."""
+    m = ImplicitNet(d_in=3, hidden_dims=(8, 8), skip_in=(1,), beta=100.0,
+                    geometric_init=False)
+    params = m.init(jax.random.PRNGKey(0))
+    x = jnp.asarray([[0.3, -0.2, 0.5]])
+
+    # manual forward
+    import numpy as onp
+    h = onp.asarray(x)
+    inp = h.copy()
+    w0, b0 = (onp.asarray(params["layers"][0]["w"]), onp.asarray(params["layers"][0]["b"]))
+    h = h @ w0 + b0
+    h = onp.log1p(onp.exp(100.0 * h)) / 100.0  # softplus beta=100 (small values)
+    h = onp.concatenate([h, inp], axis=-1) / onp.sqrt(2.0)
+    w1, b1 = (onp.asarray(params["layers"][1]["w"]), onp.asarray(params["layers"][1]["b"]))
+    h = h @ w1 + b1
+    h = onp.log1p(onp.exp(100.0 * h)) / 100.0
+    w2, b2 = (onp.asarray(params["layers"][2]["w"]), onp.asarray(params["layers"][2]["b"]))
+    h = h @ w2 + b2
+    np.testing.assert_allclose(
+        np.asarray(m.apply(params, x)), h[:, 0], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_compatible_alias():
+    m = ImplicitNetCompatible(d_in=3, hidden_dims=(32,) * 2)
+    assert isinstance(m, ImplicitNet)
+    assert m.beta == 99.0
+
+
+def test_ffn_forward():
+    m = FeedForwardNetwork(d_in=3, hidden_dim=32, num_layers=2)
+    params = m.init(jax.random.PRNGKey(0))
+    x = jnp.ones((5, 3))
+    out = m.apply(params, x)
+    assert out.shape == (5,)
+    assert np.all(np.abs(np.asarray(out)) < 1.0)  # tanh output
+    # dropout changes output in train mode
+    out_train = m.apply(params, x, rng=jax.random.PRNGKey(1), train=True)
+    assert not np.allclose(np.asarray(out), np.asarray(out_train))
+
+
+def test_kan_forward_and_reg():
+    m = KAN(layers_hidden=(3, 16, 1), grid_size=8)
+    params = m.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (32, 3), minval=-0.9, maxval=0.9)
+    out = m.apply(params, x)
+    assert out.shape == (32,)
+    assert np.all(np.isfinite(np.asarray(out)))
+    reg = m.regularization_loss(params)
+    assert np.isfinite(float(reg))
+
+
+def test_kan_bspline_partition_of_unity():
+    from sdf_representation_tpu.models.kan import KANLayerSpec, b_splines
+
+    spec = KANLayerSpec(in_features=3, out_features=4, grid_size=8)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (64, 3), minval=-0.99, maxval=0.99)
+    bases = b_splines(x, spec.default_grid(), spec.spline_order)
+    # B-spline bases of any order sum to 1 inside the grid domain
+    np.testing.assert_allclose(np.asarray(bases.sum(-1)), 1.0, atol=1e-5)
+
+
+def test_kan_update_grid_preserves_function():
+    m = KAN(layers_hidden=(3, 8, 1), grid_size=8)
+    params = m.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (256, 3), minval=-0.9, maxval=0.9)
+    before = np.asarray(m.apply(params, x))
+    params2 = m.update_grid(params, x)
+    after = np.asarray(m.apply(params2, x))
+    # re-fitting coefficients on the new grid should approximately preserve f
+    assert np.abs(before - after).mean() < 0.05
+
+
+def test_registry():
+    assert get_model_class("ImplicitNet") is ImplicitNet
+    with pytest.raises(ValueError):
+        get_model_class("DoesNotExist")
