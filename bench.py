@@ -1,15 +1,16 @@
 """Benchmark entry point — prints ONE JSON line.
 
 Headline metric: 512^3 dense-grid SDF evaluation wall time on the flagship
-ImplicitNet (8x512 skip-in), the BASELINE.md north-star ("512^3 grid SDF
-extraction < 2 s" on v5e-8; this runs on however many chips are attached —
-usually one). vs_baseline = 2.0 / seconds, so > 1.0 beats the target.
+ImplicitNet (8x512 skip-in) via the fused Pallas kernel (weights resident in
+VMEM), the BASELINE.md north-star ("512^3 grid SDF extraction < 2 s" on
+v5e-8; this runs on however many chips are attached — usually ONE, whose
+bf16 speed-of-light for this 496-TFLOP workload is ~2.5 s).
+vs_baseline = 2.0 / seconds (> 1.0 beats the 8-chip target on this chip).
 
-Extras: training throughput (points/sec) for the jitted whole-epoch loop and
-bf16 grid-eval time.
+Extras: XLA (non-fused) grid time, training throughput (points/sec) for the
+jitted whole-epoch loop, device info.
 
-Env:
-  BENCH_QUICK=1  -> 128^3 + tiny train loop (CI smoke)
+Env: BENCH_QUICK=1 -> 128^3 + tiny train loop (CI smoke).
 """
 
 import json
@@ -22,10 +23,12 @@ import numpy as np
 
 
 def _force(out):
-    """Force execution AND result materialisation: on the experimental axon
-    platform block_until_ready can return before the computation lands, so we
-    fetch a scalar reduction to host."""
-    return float(jax.device_get(jnp.sum(jax.tree_util.tree_leaves(out)[0])))
+    """Force execution AND materialisation: on the experimental axon platform
+    block_until_ready can return early, so fetch a scalar reduction."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    if isinstance(leaf, np.ndarray):
+        return float(leaf.ravel()[0])
+    return float(jax.device_get(jnp.sum(leaf)))
 
 
 def time_fn(fn, *args, repeats=3):
@@ -43,24 +46,24 @@ def main():
 
     from sdf_representation_tpu.models import ImplicitNet
     from sdf_representation_tpu.ops.grid_eval import _eval_grid_device
+    from sdf_representation_tpu.ops.pallas_mlp import fused_grid_eval
 
     model = ImplicitNet(d_in=3, hidden_dims=(512,) * 8, skip_in=(4,), beta=100.0)
     params = model.init(jax.random.PRNGKey(0))
 
     n = 128 if quick else 512
-    chunk = 262144
+    reps = 2 if quick else 3
 
-    def grid(params):
-        return _eval_grid_device(params, model.apply, n, chunk, jnp.float32)
+    t_fused = time_fn(
+        lambda p: fused_grid_eval(model, p, n, compute_dtype=jnp.bfloat16),
+        params, repeats=reps,
+    )
+    t_xla = time_fn(
+        lambda p: _eval_grid_device(p, model.apply, n, 262144, jnp.float32),
+        params, repeats=reps,
+    )
 
-    t_f32 = time_fn(grid, params, repeats=2 if quick else 3)
-
-    def grid_bf16(params):
-        return _eval_grid_device(params, model.apply, n, chunk, jnp.bfloat16)
-
-    t_bf16 = time_fn(grid_bf16, params, repeats=2 if quick else 3)
-
-    # training throughput: whole-epoch jitted loop, WeightedSmoothL2 on random data
+    # training throughput: whole-epoch jitted loop, WeightedSmoothL2
     import optax
 
     from sdf_representation_tpu.losses import WeightedSmoothL2Loss
@@ -74,12 +77,10 @@ def main():
     optimizer = optax.adam(1e-4)
     trainable = {"params": params, "aux": {}}
     opt_state = optimizer.init(trainable)
-    epoch_fn = make_epoch_fn(
-        model, WeightedSmoothL2Loss(), optimizer, batch, n_points
-    )
+    epoch_fn = make_epoch_fn(model, WeightedSmoothL2Loss(), optimizer, batch, n_points)
 
     def run_epoch(tr, st):
-        tr, st, lv = epoch_fn(tr, st, X, Y, jax.random.PRNGKey(0), 0)
+        _, _, lv = epoch_fn(tr, st, X, Y, jax.random.PRNGKey(0), 0)
         return lv
 
     t_epoch = time_fn(run_epoch, trainable, opt_state, repeats=2)
@@ -87,7 +88,7 @@ def main():
     train_pps = pts_per_epoch / t_epoch
 
     # scale quick grid time to the 512 workload for comparability
-    t_at_512 = t_f32 if not quick else t_f32 * (512 / n) ** 3
+    t_at_512 = t_fused if not quick else t_fused * (512 / n) ** 3
     result = {
         "metric": "sdf_grid_512_eval_seconds",
         "value": round(t_at_512, 4),
@@ -95,9 +96,10 @@ def main():
         "vs_baseline": round(2.0 / t_at_512, 3),
         "extras": {
             "grid_n": n,
-            "grid_eval_f32_s": round(t_f32, 4),
-            "grid_eval_bf16_s": round(t_bf16, 4),
-            "grid_points_per_sec_f32": round(n**3 / t_f32),
+            "grid_eval_fused_bf16_s": round(t_fused, 4),
+            "grid_eval_xla_s": round(t_xla, 4),
+            "fused_speedup_vs_xla": round(t_xla / t_fused, 2),
+            "grid_points_per_sec_fused": round(n**3 / t_fused),
             "train_points_per_sec": round(train_pps),
             "train_batch": batch,
             "device": str(jax.devices()[0]),

@@ -13,6 +13,14 @@ def main(argv=None):
     config_file_path = argv[0]
     print(f"Running with config file: {config_file_path}")
 
+    import jax
+
+    # persistent compile cache: first-run jit of the samplers/kernels costs
+    # minutes through the remote compiler; subsequent processes hit the cache
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/sdf_representation_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from sdf_representation_tpu.configgen import Configuration
     from sdf_representation_tpu.training import Trainer, PointCloudTrainer
 

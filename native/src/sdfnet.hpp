@@ -1,0 +1,303 @@
+// sdfnet.hpp — native C++ runtime for ImplicitNet (.sdfw weights).
+//
+// Independent re-implementation of the role played by the reference's C++
+// LibTorch model (reference ops/conversion_test/main.cpp:8-75: skip-cat/sqrt2,
+// softplus, geometric-init MLP) WITHOUT any framework dependency: forward and
+// ANALYTIC input gradients are hand-rolled (an MLP's backward is ~20 lines;
+// no autograd library required), multithreaded over point batches.
+//
+// File format: see sdf_representation_tpu/export/native_format.py.
+
+#pragma once
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <fstream>
+#include <sstream>
+#include <stdexcept>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace sdfnet {
+
+struct Layer {
+  int in = 0, out = 0;
+  std::vector<float> w;  // (in, out) row-major
+  std::vector<float> b;  // (out)
+};
+
+// --- tiny JSON helpers (we control the writer; tolerant scanning) ----------
+inline double json_number(const std::string& s, const std::string& key) {
+  auto p = s.find("\"" + key + "\"");
+  if (p == std::string::npos) throw std::runtime_error("missing key " + key);
+  p = s.find(':', p);
+  return std::stod(s.substr(p + 1));
+}
+
+inline std::vector<long> json_int_array(const std::string& s,
+                                        const std::string& key,
+                                        size_t from = 0) {
+  auto p = s.find("\"" + key + "\"", from);
+  if (p == std::string::npos) throw std::runtime_error("missing key " + key);
+  auto lb = s.find('[', p), rb = s.find(']', p);
+  std::vector<long> out;
+  std::string body = s.substr(lb + 1, rb - lb - 1);
+  std::stringstream ss(body);
+  std::string tok;
+  while (std::getline(ss, tok, ','))
+    if (tok.find_first_not_of(" \t\n") != std::string::npos)
+      out.push_back(std::stol(tok));
+  return out;
+}
+
+class ImplicitNet {
+ public:
+  int d_in = 3;
+  std::vector<int> dims;      // [d_in, hidden..., 1]
+  std::vector<int> skip_in;   // layer indices with input skip
+  float beta = 100.0f;
+  std::vector<Layer> layers;
+
+  static ImplicitNet load(const std::string& path) {
+    std::ifstream f(path, std::ios::binary);
+    if (!f) throw std::runtime_error("cannot open " + path);
+    char magic[4];
+    f.read(magic, 4);
+    if (std::memcmp(magic, "SDFW", 4) != 0)
+      throw std::runtime_error("bad magic in " + path);
+    uint32_t version = 0, hlen = 0;
+    f.read(reinterpret_cast<char*>(&version), 4);
+    f.read(reinterpret_cast<char*>(&hlen), 4);
+    if (version != 1) throw std::runtime_error("unsupported sdfw version");
+    std::string header(hlen, '\0');
+    f.read(header.data(), hlen);
+
+    ImplicitNet net;
+    net.d_in = static_cast<int>(json_number(header, "d_in"));
+    net.beta = static_cast<float>(json_number(header, "beta"));
+    for (long h : json_int_array(header, "hidden_dims"))
+      net.dims.push_back(static_cast<int>(h));
+    net.dims.insert(net.dims.begin(), net.d_in);
+    net.dims.push_back(1);
+    for (long sidx : json_int_array(header, "skip_in"))
+      net.skip_in.push_back(static_cast<int>(sidx));
+
+    // tensor directory: names are layers.{i}.{w|b} in order, f32 LE blobs
+    size_t pos = 0;
+    int n_lin = static_cast<int>(net.dims.size()) - 1;
+    net.layers.resize(n_lin);
+    for (int l = 0; l < n_lin; ++l) {
+      auto shape = json_int_array(header, "shape", header.find(
+          "layers." + std::to_string(l) + ".w"));
+      Layer& L = net.layers[l];
+      L.in = static_cast<int>(shape[0]);
+      L.out = static_cast<int>(shape[1]);
+      L.w.resize(static_cast<size_t>(L.in) * L.out);
+      f.read(reinterpret_cast<char*>(L.w.data()), L.w.size() * 4);
+      L.b.resize(L.out);
+      f.read(reinterpret_cast<char*>(L.b.data()), L.b.size() * 4);
+    }
+    if (!f) throw std::runtime_error("truncated sdfw file " + path);
+    (void)pos;
+    return net;
+  }
+
+  int max_width() const {
+    int m = 0;
+    for (const auto& L : layers) m = std::max(m, std::max(L.in, L.out));
+    return m + d_in;
+  }
+
+  bool has_skip(int layer) const {
+    for (int s : skip_in)
+      if (s == layer) return true;
+    return false;
+  }
+
+  float act(float z) const {
+    if (beta > 0) {
+      // softplus(beta*z)/beta, numerically stable
+      float bz = beta * z;
+      if (bz > 20.0f) return z;
+      return std::log1p(std::exp(bz)) / beta;
+    }
+    return z > 0 ? z : 0.0f;
+  }
+
+  float act_grad(float z) const {
+    if (beta > 0) {
+      float bz = beta * z;
+      if (bz > 20.0f) return 1.0f;
+      if (bz < -20.0f) return 0.0f;
+      return 1.0f / (1.0f + std::exp(-bz));  // sigmoid(beta z)
+    }
+    return z > 0 ? 1.0f : 0.0f;
+  }
+
+  // Forward for one point. scratch must hold >= 2*max_width floats per use;
+  // if pre_acts != nullptr it receives every layer's pre-activation
+  // (n_lin rows, dims[l+1] entries each, flattened with row starts in
+  // pre_off) for the backward pass.
+  float forward_point(const float* x, std::vector<float>& h,
+                      std::vector<float>& tmp,
+                      std::vector<float>* pre_acts = nullptr,
+                      std::vector<int>* pre_off = nullptr) const {
+    const float inv_sqrt2 = 0.70710678118654752f;
+    int n_lin = static_cast<int>(layers.size());
+    h.assign(h.size(), 0.0f);
+    std::copy(x, x + d_in, h.begin());
+    int cur = d_in;
+    if (pre_acts) {
+      pre_acts->clear();
+      pre_off->clear();
+    }
+    for (int l = 0; l < n_lin; ++l) {
+      if (has_skip(l)) {
+        for (int k = 0; k < d_in; ++k) h[cur + k] = x[k];
+        cur += d_in;
+        for (int k = 0; k < cur; ++k) h[k] *= inv_sqrt2;
+      }
+      const Layer& L = layers[l];
+      tmp.assign(L.out, 0.0f);
+      for (int i = 0; i < L.in; ++i) {
+        float hi = h[i];
+        if (hi == 0.0f) continue;
+        const float* wrow = &L.w[static_cast<size_t>(i) * L.out];
+        for (int j = 0; j < L.out; ++j) tmp[j] += hi * wrow[j];
+      }
+      for (int j = 0; j < L.out; ++j) tmp[j] += L.b[j];
+      if (pre_acts) {
+        pre_off->push_back(static_cast<int>(pre_acts->size()));
+        pre_acts->insert(pre_acts->end(), tmp.begin(), tmp.end());
+      }
+      if (l < n_lin - 1) {
+        for (int j = 0; j < L.out; ++j) h[j] = act(tmp[j]);
+      } else {
+        h[0] = tmp[0];
+        if (beta <= 0) h[0] = std::tanh(h[0]);
+      }
+      cur = L.out;
+      for (int k = cur; k < static_cast<int>(h.size()); ++k) h[k] = 0.0f;
+    }
+    return h[0];
+  }
+
+  // Forward + analytic d(sdf)/d(x) via reverse accumulation.
+  float forward_grad_point(const float* x, float* grad_out) const {
+    int n_lin = static_cast<int>(layers.size());
+    std::vector<float> h(max_width(), 0.0f), tmp(max_width(), 0.0f);
+    std::vector<float> pre;
+    std::vector<int> off;
+    float out = forward_point(x, h, tmp, &pre, &off);
+
+    // backward: d = dL/d(pre_act of layer l)
+    std::vector<float> d(max_width(), 0.0f), dprev(max_width(), 0.0f);
+    std::vector<float> dx(d_in, 0.0f);
+    d[0] = 1.0f;
+    if (beta <= 0) {
+      float t = std::tanh(pre[off[n_lin - 1]]);
+      d[0] = 1.0f - t * t;
+    }
+    const float inv_sqrt2 = 0.70710678118654752f;
+    for (int l = n_lin - 1; l >= 0; --l) {
+      const Layer& L = layers[l];
+      // dprev = W d  (w is (in,out): dprev_i = sum_j w[i,j] d_j)
+      dprev.assign(L.in, 0.0f);
+      for (int i = 0; i < L.in; ++i) {
+        const float* wrow = &L.w[static_cast<size_t>(i) * L.out];
+        float acc = 0.0f;
+        for (int j = 0; j < L.out; ++j) acc += wrow[j] * d[j];
+        dprev[i] = acc;
+      }
+      if (has_skip(l)) {
+        // input h was [prev_h, x] * inv_sqrt2
+        for (int k = 0; k < d_in; ++k)
+          dx[k] += dprev[L.in - d_in + k] * inv_sqrt2;
+        dprev.resize(L.in - d_in);
+        for (auto& v : dprev) v *= inv_sqrt2;
+      }
+      if (l == 0) {
+        for (int k = 0; k < d_in; ++k) dx[k] += dprev[k];
+        break;
+      }
+      // multiply by activation derivative of layer l-1
+      const int po = off[l - 1];
+      int prev_out = layers[l - 1].out;
+      d.assign(prev_out, 0.0f);
+      for (int j = 0; j < prev_out; ++j)
+        d[j] = dprev[j] * act_grad(pre[po + j]);
+    }
+    for (int k = 0; k < d_in; ++k) grad_out[k] = dx[k];
+    return out;
+  }
+
+  // Batched, multithreaded. pts: n x d_in row-major. out: n. grads: n x d_in
+  // (nullptr to skip gradients).
+  void evaluate(const float* pts, std::size_t n, float* out,
+                float* grads = nullptr, int n_threads = 0) const {
+    if (n_threads <= 0)
+      n_threads = std::max(1u, std::thread::hardware_concurrency());
+    n_threads = static_cast<int>(
+        std::min<std::size_t>(static_cast<std::size_t>(n_threads), n ? n : 1));
+    auto work = [&](std::size_t lo, std::size_t hi) {
+      std::vector<float> h(max_width(), 0.0f), tmp(max_width(), 0.0f);
+      for (std::size_t i = lo; i < hi; ++i) {
+        if (grads) {
+          out[i] = forward_grad_point(pts + i * d_in, grads + i * d_in);
+        } else {
+          out[i] = forward_point(pts + i * d_in, h, tmp);
+        }
+      }
+    };
+    std::vector<std::thread> threads;
+    std::size_t chunk = (n + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+      std::size_t lo = t * chunk, hi = std::min(n, lo + chunk);
+      if (lo >= hi) break;
+      threads.emplace_back(work, lo, hi);
+    }
+    for (auto& th : threads) th.join();
+  }
+};
+
+// --- CSV helpers -----------------------------------------------------------
+inline std::vector<std::vector<float>> read_csv(const std::string& path) {
+  std::ifstream f(path);
+  if (!f) throw std::runtime_error("cannot open " + path);
+  std::vector<std::vector<float>> rows;
+  std::string line;
+  while (std::getline(f, line)) {
+    if (line.empty()) continue;
+    std::vector<float> row;
+    std::stringstream ss(line);
+    std::string tok;
+    bool numeric = true;
+    while (std::getline(ss, tok, ',')) {
+      try {
+        row.push_back(std::stof(tok));
+      } catch (...) {
+        numeric = false;
+        break;
+      }
+    }
+    if (numeric && !row.empty()) rows.push_back(std::move(row));
+  }
+  return rows;
+}
+
+inline void write_csv(const std::string& path,
+                      const std::vector<std::vector<float>>& rows) {
+  std::ofstream f(path);
+  f.precision(9);
+  for (const auto& row : rows) {
+    for (std::size_t i = 0; i < row.size(); ++i) {
+      if (i) f << ',';
+      f << row[i];
+    }
+    f << '\n';
+  }
+}
+
+}  // namespace sdfnet

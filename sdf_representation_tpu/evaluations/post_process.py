@@ -61,7 +61,23 @@ def post_process(trainer, mesh_path: Optional[str] = None) -> Dict[str, float]:
 
     n = c.cubesize
     coords = grid_coords(n)
-    pred = evaluate_points(trainer.model.apply, params, coords, chunk=min(c.ppbatchsize, 262144))
+    from ..models.implicit_net import ImplicitNet
+    import jax
+
+    if (
+        getattr(c, "use_pallas", True)
+        and isinstance(trainer.model, ImplicitNet)
+        and jax.devices()[0].platform not in ("cpu",)
+    ):
+        from ..ops.pallas_mlp import fused_grid_eval
+
+        pred = np.asarray(
+            fused_grid_eval(trainer.model, params, n)
+        ).reshape(-1)
+    else:
+        pred = evaluate_points(
+            trainer.model.apply, params, coords, chunk=min(c.ppbatchsize, 262144)
+        )
     true, _ = signed_distance(coords.astype(np.float64), mesh)
 
     out: Dict[str, float] = {}
@@ -86,7 +102,10 @@ def post_process(trainer, mesh_path: Optional[str] = None) -> Dict[str, float]:
     try:
         from .reconstruct import reconstruct_mesh
 
-        recon = reconstruct_mesh(trainer.model.apply, params, min(n, 128))
+        recon = reconstruct_mesh(
+            trainer.model.apply, params, min(n, 128), model=trainer.model,
+            use_pallas=getattr(c, "use_pallas", True),
+        )
         if len(recon.faces):
             rng = np.random.default_rng(0)
             from ..sampling.sampler import sample_surface_points

@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -25,12 +26,31 @@ def reconstruct_mesh(
     chunk: int = 262144,
     compute_dtype=jnp.float32,
     level: float = 0.0,
+    model=None,
+    use_pallas: bool = True,
 ) -> Mesh:
     """Evaluate the field on the cubesize^3 grid in [-1,1]^3 and extract the
     zero level set. spacing = 2/(n-1) so vertices land in [-1, 1]^3
     (the reference used 2/N, executor.py:388, leaving a half-voxel offset —
-    intentional fix)."""
-    vol = evaluate_grid(apply_fn, params, cubesize, chunk=chunk, compute_dtype=compute_dtype)
+    intentional fix).
+
+    When `model` is an ImplicitNet on a TPU backend, the fused Pallas kernel
+    (weights resident in VMEM) evaluates the grid ~2x faster than the XLA
+    layer-by-layer path."""
+    from ..models.implicit_net import ImplicitNet
+
+    if (
+        use_pallas
+        and isinstance(model, ImplicitNet)
+        and jax.devices()[0].platform not in ("cpu",)
+    ):
+        from ..ops.pallas_mlp import fused_grid_eval
+
+        vol = np.asarray(fused_grid_eval(model, params, cubesize))
+    else:
+        vol = evaluate_grid(
+            apply_fn, params, cubesize, chunk=chunk, compute_dtype=compute_dtype
+        )
     spacing = 2.0 / (cubesize - 1)
     verts, faces = marching_cubes(
         vol, level=level, spacing=(spacing,) * 3, origin=(-1.0, -1.0, -1.0)
@@ -50,6 +70,8 @@ def reconstruct_only(trainer, gif: bool = True) -> str:
         trainable["params"],
         c.cubesize,
         chunk=min(c.ppbatchsize, 262144),
+        model=trainer.model,
+        use_pallas=getattr(c, "use_pallas", True),
     )
     stl_path = os.path.join(
         trainer.postprocess_save_path, f"reconstructed_epoch{epoch}.stl"

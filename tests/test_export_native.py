@@ -1,0 +1,181 @@
+"""Export formats + C++ native runtime parity (the reference's
+conversion_test pattern: export -> independent runtime -> elementwise diff,
+cf. reference ops/conversion_test/difference.csv ~1e-7)."""
+
+import os
+import shutil
+import subprocess
+
+import jax
+import numpy as np
+import pytest
+
+from sdf_representation_tpu.export import (
+    load_sdfw,
+    save_as_onnx,
+    save_for_native,
+    save_sdfw,
+    write_parity_fixtures,
+)
+from sdf_representation_tpu.models import ImplicitNet
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = ImplicitNet(d_in=3, hidden_dims=(64,) * 4, skip_in=(2,), beta=100.0)
+    params = model.init(jax.random.PRNGKey(0))
+    return model, params
+
+
+def test_sdfw_roundtrip(tmp_path, model_and_params):
+    model, params = model_and_params
+    p = str(tmp_path / "m.sdfw")
+    save_sdfw(p, model, params)
+    arch, loaded = load_sdfw(p)
+    assert arch["d_in"] == 3
+    assert arch["hidden_dims"] == [64] * 4
+    assert arch["skip_in"] == [2]
+    assert arch["beta"] == 100.0
+    for orig, got in zip(params["layers"], loaded["layers"]):
+        np.testing.assert_allclose(np.asarray(orig["w"], np.float32), got["w"])
+        np.testing.assert_allclose(np.asarray(orig["b"], np.float32), got["b"])
+
+
+def test_onnx_structure(tmp_path, model_and_params):
+    """Decode our own protobuf output and validate the ModelProto shape."""
+    from sdf_representation_tpu.export import protobuf_min as pb
+
+    model, params = model_and_params
+    p = str(tmp_path / "m.onnx")
+    save_as_onnx(p, model, params)
+    data = open(p, "rb").read()
+    top = pb.decode(data)
+    ir = pb.fields(top, 1)
+    assert ir and ir[0] == 8
+    graphs = pb.fields(top, 7)
+    assert len(graphs) == 1
+    g = pb.decode(graphs[0])
+    nodes = [pb.decode(n) for n in pb.fields(g, 1)]
+    op_types = [pb.fields(n, 4)[0].decode() for n in nodes]
+    assert op_types.count("Gemm") == 5  # 5 linear layers
+    assert op_types.count("Concat") == 1
+    assert op_types.count("Softplus") == 4
+    inits = pb.fields(g, 5)
+    names = []
+    for t in inits:
+        names.append(pb.fields(pb.decode(t), 8)[0].decode())
+    assert "W0" in names and "B4" in names
+    # opset import present
+    opsets = pb.fields(top, 8)
+    assert pb.fields(pb.decode(opsets[0]), 2)[0] == 15
+
+
+@pytest.fixture(scope="session")
+def native_build(tmp_path_factory):
+    if shutil.which("cmake") is None:
+        pytest.skip("cmake not available")
+    build = tmp_path_factory.mktemp("native_build")
+    src = os.path.join(REPO, "native")
+    subprocess.run(
+        ["cmake", "-S", src, "-B", str(build), "-DCMAKE_BUILD_TYPE=Release"],
+        check=True, capture_output=True,
+    )
+    subprocess.run(
+        ["cmake", "--build", str(build), "-j", "8"], check=True, capture_output=True
+    )
+    return str(build)
+
+
+def test_native_parity(tmp_path, model_and_params, native_build):
+    """C++ forward AND analytic input gradients match JAX to f32 precision."""
+    model, params = model_and_params
+    out = str(tmp_path)
+    save_for_native(out, model, params, onnx=False)
+    fixtures = write_parity_fixtures(out, model, params, n_points=128)
+
+    cpp_out = os.path.join(out, "cpp_output.csv")
+    cpp_grad = os.path.join(out, "cpp_gradient.csv")
+    subprocess.run(
+        [
+            os.path.join(native_build, "parity_main"),
+            os.path.join(out, "model.sdfw"),
+            fixtures["input"], cpp_out, cpp_grad,
+        ],
+        check=True, capture_output=True,
+    )
+    ref_out = np.loadtxt(fixtures["output"], delimiter=",")
+    got_out = np.loadtxt(cpp_out, delimiter=",")
+    np.testing.assert_allclose(got_out, ref_out, rtol=1e-4, atol=1e-5)
+
+    ref_grad = np.loadtxt(fixtures["gradient"], delimiter=",")
+    got_grad = np.loadtxt(cpp_grad, delimiter=",")
+    np.testing.assert_allclose(got_grad, ref_grad, rtol=1e-3, atol=1e-4)
+
+
+def test_native_parity_relu_mode(tmp_path, native_build):
+    model = ImplicitNet(
+        d_in=3, hidden_dims=(32,) * 3, skip_in=(), beta=0.0, geometric_init=False
+    )
+    params = model.init(jax.random.PRNGKey(1))
+    out = str(tmp_path)
+    save_for_native(out, model, params, onnx=False)
+    fixtures = write_parity_fixtures(out, model, params, n_points=64)
+    cpp_out = os.path.join(out, "o.csv")
+    cpp_grad = os.path.join(out, "g.csv")
+    subprocess.run(
+        [os.path.join(native_build, "parity_main"),
+         os.path.join(out, "model.sdfw"), fixtures["input"], cpp_out, cpp_grad],
+        check=True, capture_output=True,
+    )
+    np.testing.assert_allclose(
+        np.loadtxt(cpp_out, delimiter=","),
+        np.loadtxt(fixtures["output"], delimiter=","),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_deeptrace_octree(tmp_path, model_and_params, native_build):
+    """The octree engine refines around the learned surface (config.txt format
+    of the reference sample, ops/DeepTrace/sample_inputs/config.txt)."""
+    model, params = model_and_params
+    out = str(tmp_path)
+    save_for_native(out, model, params, onnx=False)
+    cfg = tmp_path / "config.txt"
+    cfg.write_text(
+        """#################### Refinement setting ####################
+refine_lvl_uni = 2
+refine_lvl_bd = 4
+cubeDomainMin = [-1.0, -1.0, -1.0]
+cubeDomainMax = [1.0, 1.0, 1.0]
+ModelFileName = \"%s/model.onnx\"
+useDeepLearning = true
+""" % out
+    )
+    res = subprocess.run(
+        [os.path.join(native_build, "deeptrace"), str(cfg), out],
+        check=True, capture_output=True, text=True,
+    )
+    assert "leaf cells" in res.stdout
+    cells = np.loadtxt(os.path.join(out, "cells.csv"), delimiter=",")
+    points = np.loadtxt(os.path.join(out, "points.csv"), delimiter=",")
+    assert len(cells) == len(points)
+    # boundary cells exist and refine deeper than non-boundary average
+    boundary = cells[:, 5] > 0.5
+    assert boundary.sum() > 0
+    assert cells[boundary][:, 4].max() == 4
+    # geometric-init net ~ sphere of radius ~1: near-surface points have small |S|
+    near = points[boundary]
+    assert np.abs(near[:, 3]).mean() < np.abs(points[~boundary][:, 3]).mean()
+
+
+def test_deeptrace_disabled(tmp_path, native_build):
+    cfg = tmp_path / "c.txt"
+    cfg.write_text("useDeepLearning = false\n")
+    res = subprocess.run(
+        [os.path.join(native_build, "deeptrace"), str(cfg)],
+        capture_output=True, text=True,
+    )
+    assert res.returncode == 0
+    assert "nothing to do" in res.stderr
