@@ -252,3 +252,33 @@ def generate_points_circle(
         for name, df in [("uniform", df_uniform), ("surface", df_surface), ("narrow", df_narrow)]:
             df.to_csv(os.path.join(save_path, f"{name}.csv"), index=True)
     return df_uniform, df_narrow, df_surface
+
+
+def write_signed_distance_mismatch(
+    query_points: np.ndarray,
+    geometry: Union[str, Mesh],
+    save_directory: str,
+) -> str:
+    """Label the post-process mismatching coordinates and append them as
+    mismatch.csv so the next training round (mismatchuse=True) focuses on
+    them (cf. reference data_generator.py:643-671 write_signed_distance_mismatch
+    + load_data.py:44-45)."""
+    df = _label(np.asarray(query_points, dtype=np.float64), _as_mesh(geometry))
+    path = os.path.join(save_directory, "mismatch.csv")
+    df.to_csv(path)
+    return path
+
+
+def augment_mismatch_from_postprocess(trainer, mesh_path: Optional[str] = None) -> str:
+    """Close the mismatch loop: read mismatching_co-ordinates1.csv written by
+    post_process, label those points exactly, write mismatch.csv into the
+    trainer's data path."""
+    import pandas as pd
+
+    coords_csv = os.path.join(
+        trainer.postprocess_save_path, "mismatching_co-ordinates1.csv"
+    )
+    coords = pd.read_csv(coords_csv)[["x", "y", "z"]].to_numpy()
+    if mesh_path is None:
+        mesh_path = getattr(trainer, "rescaled_path", None) or trainer.config.geometry
+    return write_signed_distance_mismatch(coords, mesh_path, trainer.data_path)
