@@ -69,15 +69,18 @@ def main():
     from sdf_representation_tpu.losses import WeightedSmoothL2Loss
     from sdf_representation_tpu.training.trainer import make_epoch_fn
 
-    n_points = 2**17 if quick else 2**21
-    batch = 4096 if quick else 65536
+    n_points = 2**17 if quick else 2**22
+    batch = 4096 if quick else 262144
     rng = np.random.default_rng(0)
     X = jnp.asarray(rng.uniform(-1, 1, (n_points, 3)).astype(np.float32))
     Y = jnp.asarray(rng.uniform(-1, 1, (n_points, 4)).astype(np.float32))
     optimizer = optax.adam(1e-4)
     trainable = {"params": params, "aux": {}}
     opt_state = optimizer.init(trainable)
-    epoch_fn = make_epoch_fn(model, WeightedSmoothL2Loss(), optimizer, batch, n_points)
+    epoch_fn = make_epoch_fn(
+        model, WeightedSmoothL2Loss(), optimizer, batch, n_points,
+        matmul_precision="bfloat16",
+    )
 
     def run_epoch(tr, st):
         _, _, lv = epoch_fn(tr, st, X, Y, jax.random.PRNGKey(0), 0)
@@ -102,6 +105,7 @@ def main():
             "grid_points_per_sec_fused": round(n**3 / t_fused),
             "train_points_per_sec": round(train_pps),
             "train_batch": batch,
+            "train_precision": "mixed_bf16",
             "device": str(jax.devices()[0]),
             "n_devices": len(jax.devices()),
         },

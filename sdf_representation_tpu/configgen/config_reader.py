@@ -79,6 +79,11 @@ class Configuration:
         self.contd = self.config.getboolean("Training", "continue")
         self.patience = self.config.getint("Training", "patience")
         self.two_dim = self.config.getboolean("Training", "two_dim", fallback=False)
+        # optional LR schedule: step decay every lr_step epochs by lr_gamma
+        # (the reference instantiated torch StepLR but never stepped it —
+        # executor.py:139,182-183; this one actually runs)
+        self.lr_step = self.config.getint("Training", "lr_step", fallback=0)
+        self.lr_gamma = self.config.getfloat("Training", "lr_gamma", fallback=0.5)
 
         # [Sampling]
         self.samplingonly = self.config.getboolean("Sampling", "samplingonly")
@@ -102,6 +107,14 @@ class Configuration:
         self.mesh_devices = self.config.getint("TPU", "mesh_devices", fallback=0)
         self.compute_dtype = self.config.get("TPU", "compute_dtype", fallback="float32")
         self.use_pallas = self.config.getboolean("TPU", "use_pallas", fallback=True)
+        # epochs fused into one jitted call (amortises dispatch latency);
+        # 1 = exact per-epoch checkpoint/early-stop semantics
+        self.epochs_per_call = self.config.getint("TPU", "epochs_per_call", fallback=1)
+        self.debug_nans = self.config.getboolean("TPU", "debug_nans", fallback=False)
+        # None/'default' = XLA default (f32 multi-pass); 'bfloat16' = mixed
+        # precision (f32 master weights, single-pass bf16 matmuls, ~3x step rate)
+        tp = self.config.get("TPU", "train_matmul_precision", fallback="default")
+        self.train_matmul_precision = None if tp in ("default", "none") else tp
 
         self._model = None
         self._loss = None

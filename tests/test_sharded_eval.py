@@ -1,0 +1,59 @@
+"""Sharded (multi-device) grid evaluation on the 8-virtual-CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdf_representation_tpu.models import ImplicitNet
+from sdf_representation_tpu.ops.grid_eval import evaluate_grid
+from sdf_representation_tpu.ops.sharded_eval import sharded_grid_eval
+from sdf_representation_tpu.parallel.mesh import get_mesh
+
+
+@pytest.fixture(scope="module")
+def model_params():
+    model = ImplicitNet(d_in=3, hidden_dims=(32,) * 3, skip_in=(2,), beta=100.0)
+    return model, model.init(jax.random.PRNGKey(0))
+
+
+def test_sharded_matches_single_device_xla(model_params):
+    model, params = model_params
+    n = 24
+    ref = evaluate_grid(model.apply, params, n, chunk=4096)
+    mesh = get_mesh(8)
+    out = np.asarray(
+        sharded_grid_eval(
+            model, params, n, mesh, tile_p=128, use_pallas=False,
+            compute_dtype=jnp.float32,
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=1e-5)
+
+
+def test_sharded_pallas_interpret(model_params):
+    model, params = model_params
+    n = 16
+    ref = evaluate_grid(model.apply, params, n, chunk=4096)
+    mesh = get_mesh(4)
+    out = np.asarray(
+        sharded_grid_eval(
+            model, params, n, mesh, tile_p=128, use_pallas=True,
+            interpret=True, compute_dtype=jnp.float32,
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 8])
+def test_device_counts(model_params, n_dev):
+    model, params = model_params
+    n = 16
+    ref = evaluate_grid(model.apply, params, n, chunk=4096)
+    out = np.asarray(
+        sharded_grid_eval(
+            model, params, n, get_mesh(n_dev), tile_p=128, use_pallas=False,
+            compute_dtype=jnp.float32,
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=1e-5)

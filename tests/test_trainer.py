@@ -177,3 +177,17 @@ def test_gaussbonnet_aux_trains(tmp_path):
     euler = float(res["trainable"]["aux"]["euler_characteristic"])
     assert np.isfinite(euler)
     assert euler != 2.0  # it moved: the aux scalar is actually being trained
+
+
+def test_lr_schedule(tmp_path):
+    """lr_step/lr_gamma drive a real step decay (the reference's StepLR was
+    never stepped — executor.py:139,182-183)."""
+    cfg = tiny_config(tmp_path, epochs=6)
+    cfg.lr_step = 2
+    cfg.lr_gamma = 0.1
+    trainer = Trainer(cfg)
+    res = trainer.train(dataset=sphere_dataset(2000))
+    assert res["epochs_run"] == 6
+    # with aggressive decay, late-epoch loss changes shrink dramatically
+    deltas = np.abs(np.diff(res["train_losses"]))
+    assert deltas[-1] < deltas[0]
