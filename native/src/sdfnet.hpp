@@ -52,6 +52,22 @@ inline std::vector<long> json_int_array(const std::string& s,
   return out;
 }
 
+inline std::vector<float> json_float_array(const std::string& s,
+                                           const std::string& key,
+                                           size_t from = 0) {
+  auto p = s.find("\"" + key + "\"", from);
+  if (p == std::string::npos) throw std::runtime_error("missing key " + key);
+  auto lb = s.find('[', p), rb = s.find(']', p);
+  std::vector<float> out;
+  std::string body = s.substr(lb + 1, rb - lb - 1);
+  std::stringstream ss(body);
+  std::string tok;
+  while (std::getline(ss, tok, ','))
+    if (tok.find_first_not_of(" \t\n") != std::string::npos)
+      out.push_back(std::stof(tok));
+  return out;
+}
+
 class ImplicitNet {
  public:
   int d_in = 3;
@@ -70,7 +86,8 @@ class ImplicitNet {
     uint32_t version = 0, hlen = 0;
     f.read(reinterpret_cast<char*>(&version), 4);
     f.read(reinterpret_cast<char*>(&hlen), 4);
-    if (version != 1) throw std::runtime_error("unsupported sdfw version");
+    if (version != 1 && version != 2)
+      throw std::runtime_error("unsupported sdfw version");
     std::string header(hlen, '\0');
     f.read(header.data(), hlen);
 
@@ -84,23 +101,45 @@ class ImplicitNet {
     for (long sidx : json_int_array(header, "skip_in"))
       net.skip_in.push_back(static_cast<int>(sidx));
 
-    // tensor directory: names are layers.{i}.{w|b} in order, f32 LE blobs
-    size_t pos = 0;
+    // tensor directory: names are layers.{i}.{w|b} in order; v1 = f32 blobs,
+    // v2 = int8 weights with per-output-channel "scale" arrays (dequantized
+    // here at load — the quantize_save-style format, float compute)
     int n_lin = static_cast<int>(net.dims.size()) - 1;
     net.layers.resize(n_lin);
     for (int l = 0; l < n_lin; ++l) {
-      auto shape = json_int_array(header, "shape", header.find(
-          "layers." + std::to_string(l) + ".w"));
+      size_t tpos = header.find("layers." + std::to_string(l) + ".w");
+      auto shape = json_int_array(header, "shape", tpos);
+      bool is_int8 = false;
+      if (version == 2) {
+        size_t dpos = header.find("\"dtype\"", tpos);
+        size_t next = header.find("\"name\"", tpos + 1);
+        if (dpos != std::string::npos && (next == std::string::npos || dpos < next)) {
+          // entry looks like  "dtype": "int8"  — find the value's open quote
+          size_t vq = header.find('"', dpos + 7);
+          is_int8 = vq != std::string::npos &&
+                    header.compare(vq + 1, 4, "int8") == 0;
+        }
+      }
       Layer& L = net.layers[l];
       L.in = static_cast<int>(shape[0]);
       L.out = static_cast<int>(shape[1]);
       L.w.resize(static_cast<size_t>(L.in) * L.out);
-      f.read(reinterpret_cast<char*>(L.w.data()), L.w.size() * 4);
+      if (is_int8) {
+        std::vector<float> scale = json_float_array(header, "scale", tpos);
+        std::vector<int8_t> q(L.w.size());
+        f.read(reinterpret_cast<char*>(q.data()), q.size());
+        for (int i = 0; i < L.in; ++i)
+          for (int j = 0; j < L.out; ++j)
+            L.w[static_cast<size_t>(i) * L.out + j] =
+                static_cast<float>(q[static_cast<size_t>(i) * L.out + j]) *
+                scale[j];
+      } else {
+        f.read(reinterpret_cast<char*>(L.w.data()), L.w.size() * 4);
+      }
       L.b.resize(L.out);
       f.read(reinterpret_cast<char*>(L.b.data()), L.b.size() * 4);
     }
     if (!f) throw std::runtime_error("truncated sdfw file " + path);
-    (void)pos;
     return net;
   }
 
