@@ -173,53 +173,11 @@ def closest_point_on_triangles(points: np.ndarray, tri: np.ndarray):
 # Device tile pass
 # ---------------------------------------------------------------------------
 
-def _tile_pass(P, P2, chunk, base_idx):
-    """One (M points) x (T triangles) tile.
-
-    P: (M,3); P2: (M,1) squared norms; chunk: dict of (T,...) tables.
-    Returns (d2 (M,T), omega (M,)).
-    """
-    # the four MXU matmuls — full f32 (HIGHEST = multi-pass on TPU);
-    # bf16 default precision visibly corrupts near-surface labels
-    mm = lambda A, B: jnp.dot(
+def _mm(A, B):
+    return jnp.dot(
         A, B, precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )
-    Pv0 = mm(P, chunk["v0"].T)  # (M, T)
-    Pv1 = mm(P, chunk["v1"].T)
-    Pv2 = mm(P, chunk["v2"].T)
-    PK = mm(P, chunk["K"].T)
-
-    a, b, c = chunk["a"], chunk["b"], chunk["c"]
-    d = chunk["e0v0"] - (Pv1 - Pv0)
-    e = chunk["e1v0"] - (Pv2 - Pv0)
-
-    s, t = _eberly_st(a, b, c, d, e)
-    # distance^2 via the *direct* difference to the closest point: the
-    # expanded quadratic a s^2 + ... + f cancels catastrophically in f32 when
-    # the point sits in the narrow band; the direct form does not.
-    d2 = jnp.zeros_like(Pv0)
-    for k in range(3):
-        ck = (
-            chunk["v0"][:, k]
-            + s * chunk["E0"][:, k]
-            + t * chunk["E1"][:, k]
-        )
-        dk = P[:, k : k + 1] - ck
-        d2 = d2 + dk * dk
-    d2 = jnp.where(chunk["valid"] > 0, d2, jnp.inf)
-
-    # solid angle (van Oosterom–Strackee)
-    la = jnp.sqrt(jnp.maximum(chunk["n00"] - 2.0 * Pv0 + P2, 1e-30))
-    lb = jnp.sqrt(jnp.maximum(chunk["n11"] - 2.0 * Pv1 + P2, 1e-30))
-    lc = jnp.sqrt(jnp.maximum(chunk["n22"] - 2.0 * Pv2 + P2, 1e-30))
-    ab = chunk["n01"] - Pv0 - Pv1 + P2
-    bc = chunk["n12"] - Pv1 - Pv2 + P2
-    ca = chunk["n20"] - Pv2 - Pv0 + P2
-    numer = chunk["d0"] - PK
-    denom = la * lb * lc + ab * lc + bc * la + ca * lb
-    omega = 2.0 * jnp.arctan2(numer, denom) * chunk["valid"]
-    return d2, jnp.sum(omega, axis=1)
 
 
 @partial(jax.jit, static_argnames=("tri_chunk",))
@@ -227,32 +185,71 @@ def _sdf_point_block(P, tables, tri_chunk: int):
     """All triangles vs one block of points. P: (M, 3) float32.
 
     Returns (min_d2 (M,), best_idx (M,) int32, winding_sum (M,)).
+
+    Distance and winding run as SEPARATE scans: the fused variant keeps ~25
+    (M, T) f32 temporaries live per chunk, which spills to HBM and is ~50x
+    slower than two light passes (measured on v5e).
     """
     M = P.shape[0]
     P2 = jnp.sum(P * P, axis=1, keepdims=True)
 
-    def body(carry, inp):
-        min_d2, best_idx, omega_acc, cidx = carry
-        chunk = inp
-        d2, omega = _tile_pass(P, P2, chunk, cidx)
+    def dist_body(carry, chunk):
+        min_d2, best_idx, cidx = carry
+        Pv0 = _mm(P, chunk["v0"].T)
+        Pv1 = _mm(P, chunk["v1"].T)
+        Pv2 = _mm(P, chunk["v2"].T)
+        d = chunk["e0v0"] - (Pv1 - Pv0)
+        e = chunk["e1v0"] - (Pv2 - Pv0)
+        s, t = _eberly_st(chunk["a"], chunk["b"], chunk["c"], d, e)
+        d2 = jnp.zeros_like(Pv0)
+        for k in range(3):
+            ck = chunk["v0"][:, k] + s * chunk["E0"][:, k] + t * chunk["E1"][:, k]
+            dk = P[:, k : k + 1] - ck
+            d2 = d2 + dk * dk
+        d2 = jnp.where(chunk["valid"] > 0, d2, jnp.inf)
         local_min = jnp.min(d2, axis=1)
         local_arg = jnp.argmin(d2, axis=1).astype(jnp.int32) + cidx * tri_chunk
         better = local_min < min_d2
         return (
             jnp.where(better, local_min, min_d2),
             jnp.where(better, local_arg, best_idx),
-            omega_acc + omega,
             cidx + 1,
         ), None
 
-    init = (
-        jnp.full((M,), jnp.inf, jnp.float32),
-        jnp.zeros((M,), jnp.int32),
-        jnp.zeros((M,), jnp.float32),
-        jnp.int32(0),
+    (min_d2, best_idx, _), _ = jax.lax.scan(
+        dist_body,
+        (jnp.full((M,), jnp.inf, jnp.float32), jnp.zeros((M,), jnp.int32),
+         jnp.int32(0)),
+        tables,
     )
-    (min_d2, best_idx, omega, _), _ = jax.lax.scan(body, init, tables)
+
+    def wind_body(acc, chunk):
+        Pv0 = _mm(P, chunk["v0"].T)
+        Pv1 = _mm(P, chunk["v1"].T)
+        Pv2 = _mm(P, chunk["v2"].T)
+        PK = _mm(P, chunk["K"].T)
+        la = jnp.sqrt(jnp.maximum(chunk["n00"] - 2.0 * Pv0 + P2, 1e-30))
+        lb = jnp.sqrt(jnp.maximum(chunk["n11"] - 2.0 * Pv1 + P2, 1e-30))
+        lc = jnp.sqrt(jnp.maximum(chunk["n22"] - 2.0 * Pv2 + P2, 1e-30))
+        ab = chunk["n01"] - Pv0 - Pv1 + P2
+        bc = chunk["n12"] - Pv1 - Pv2 + P2
+        ca = chunk["n20"] - Pv2 - Pv0 + P2
+        numer = chunk["d0"] - PK
+        denom = la * lb * lc + ab * lc + bc * la + ca * lb
+        omega = 2.0 * jnp.arctan2(numer, denom) * chunk["valid"]
+        return acc + jnp.sum(omega, axis=1), None
+
+    omega, _ = jax.lax.scan(wind_body, jnp.zeros((M,), jnp.float32), tables)
     return min_d2, best_idx, omega
+
+
+@partial(jax.jit, static_argnames=("tri_chunk",))
+def _sdf_all_blocks(P_blocks, tables, tri_chunk: int):
+    """lax.map over point blocks — ONE dispatch for the whole query set
+    (per-call dispatch costs ~300ms through the axon relay)."""
+    return jax.lax.map(
+        lambda blk: _sdf_point_block(blk, tables, tri_chunk), P_blocks
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -295,17 +292,18 @@ def signed_distance(
     P_pad = np.zeros((n_blocks * M, 3), dtype=np.float32)
     P_pad[:N] = points.astype(np.float32)
 
-    min_d2 = np.empty(n_blocks * M, np.float32)
-    best_idx = np.empty(n_blocks * M, np.int32)
-    omega = np.empty(n_blocks * M, np.float32)
-    for i in range(n_blocks):
-        blk = jnp.asarray(P_pad[i * M : (i + 1) * M])
-        a, b, w = _sdf_point_block(blk, tables, tri_chunk)
-        min_d2[i * M : (i + 1) * M] = np.asarray(a)
-        best_idx[i * M : (i + 1) * M] = np.asarray(b)
-        omega[i * M : (i + 1) * M] = np.asarray(w)
-
-    min_d2, best_idx, omega = min_d2[:N], best_idx[:N], omega[:N]
+    # ONE host->device upload and ONE device->host fetch — individual
+    # transfers round-trip the relay at ~300ms each
+    blocks = jnp.asarray(P_pad.reshape(n_blocks, M, 3))
+    results = [
+        _sdf_point_block(blocks[i], tables, tri_chunk) for i in range(n_blocks)
+    ]
+    stacked = (
+        jnp.concatenate([r[0] for r in results]),
+        jnp.concatenate([r[1] for r in results]),
+        jnp.concatenate([r[2] for r in results]),
+    )
+    min_d2, best_idx, omega = (np.asarray(x)[:N] for x in stacked)
     best_idx = np.clip(best_idx, 0, F - 1)
 
     # host float64 refinement on the winning triangle only
@@ -352,8 +350,7 @@ def winding_number(
     n_blocks = -(-N // M)
     P_pad = np.zeros((n_blocks * M, 3), dtype=np.float32)
     P_pad[:N] = points.astype(np.float32)
-    omega = np.empty(n_blocks * M, np.float32)
-    for i in range(n_blocks):
-        _, _, w = _sdf_point_block(jnp.asarray(P_pad[i * M : (i + 1) * M]), tables, tri_chunk)
-        omega[i * M : (i + 1) * M] = np.asarray(w)
-    return omega[:N] / (4.0 * math.pi)
+    _, _, w = _sdf_all_blocks(
+        jnp.asarray(P_pad.reshape(n_blocks, M, 3)), tables, tri_chunk
+    )
+    return np.asarray(w).reshape(-1)[:N] / (4.0 * math.pi)
