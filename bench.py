@@ -90,6 +90,19 @@ def main():
     pts_per_epoch = (n_points // batch) * batch
     train_pps = pts_per_epoch / t_epoch
 
+    # exact-SDF labeling throughput (the igl-replacement data-gen path)
+    from sdf_representation_tpu.geometry.primitives import make_icosphere
+    from sdf_representation_tpu.ops.sdf_exact import signed_distance
+
+    mesh = make_icosphere(4 if quick else 6, 0.5)
+    n_label = 20000 if quick else 200000
+    pts = rng.uniform(-1, 1, (n_label, 3))
+    signed_distance(pts[: 2 * 8192], mesh)  # compile
+    t0 = time.perf_counter()
+    signed_distance(pts, mesh)
+    t_label = time.perf_counter() - t0
+    label_pairs = n_label * len(mesh.faces) / t_label
+
     # scale quick grid time to the 512 workload for comparability
     t_at_512 = t_fused if not quick else t_fused * (512 / n) ** 3
     result = {
@@ -106,6 +119,8 @@ def main():
             "train_points_per_sec": round(train_pps),
             "train_batch": batch,
             "train_precision": "mixed_bf16",
+            "sdf_label_gpairs_per_sec": round(label_pairs / 1e9, 2),
+            "sdf_label_mesh_faces": len(mesh.faces),
             "device": str(jax.devices()[0]),
             "n_devices": len(jax.devices()),
         },

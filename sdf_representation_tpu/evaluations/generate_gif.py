@@ -23,6 +23,12 @@ def plot_stl(stl_path: str, gif_path: str, frames: int = 10, dpi: int = 80) -> s
 
     mesh = load_mesh(stl_path)
     v, f = mesh.vertices, mesh.faces
+    # matplotlib trisurf is O(minutes) beyond ~50k triangles; subsample for
+    # the preview (the STL keeps full resolution)
+    max_tris = 50000
+    if len(f) > max_tris:
+        idx = np.random.default_rng(0).choice(len(f), max_tris, replace=False)
+        f = f[idx]
 
     images = []
     for i in range(frames):

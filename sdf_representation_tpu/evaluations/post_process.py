@@ -86,9 +86,19 @@ def post_process(trainer, mesh_path: Optional[str] = None) -> Dict[str, float]:
     out["sign_accuracy"] = sign_accuracy(pred, true)
 
     save = trainer.postprocess_save_path
+    max_mismatch_rows = 2_000_000  # the reference wrote ALL rows — at 256^3
+    # that can be a multi-GB CSV taking minutes; cap and record the count
     for tag, thr in (("1", THRESHOLD_1), ("2", THRESHOLD_2)):
         mism = np.abs(pred - true) > thr
-        pd.DataFrame(coords[mism], columns=["x", "y", "z"]).to_csv(
+        rows = coords[mism]
+        out[f"n_mismatch_{tag}"] = int(len(rows))
+        if len(rows) > max_mismatch_rows:
+            rows = rows[
+                np.random.default_rng(0).choice(
+                    len(rows), max_mismatch_rows, replace=False
+                )
+            ]
+        pd.DataFrame(rows, columns=["x", "y", "z"]).to_csv(
             os.path.join(save, f"mismatching_co-ordinates{tag}.csv"), index=False
         )
         classification_report_frame(pred, true).to_csv(
