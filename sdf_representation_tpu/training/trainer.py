@@ -51,12 +51,22 @@ from . import checkpoint as ckpt
 # ---------------------------------------------------------------------------
 
 def _bind_apply(model, rng):
-    """Per-step apply closure; models with dropout get the step rng."""
+    """Per-step apply closure; models with dropout get the step rng.
+    ImplicitNet closures advertise the shared-matmul forward-gradient fast
+    path consumed by sdf_and_gradient_fwd (eikonal/normal losses)."""
     import inspect
+
+    from ..models.implicit_net import ImplicitNet as _INet
+    from ..ops.diffops import implicitnet_value_and_grad
 
     if "train" in inspect.signature(model.apply).parameters:
         return lambda p, x: model.apply(p, x, rng=rng, train=True)
-    return model.apply
+    fn = lambda p, x: model.apply(p, x)
+    if isinstance(model, _INet):
+        fn._implicitnet_fast = lambda p, x: implicitnet_value_and_grad(
+            model, p, x
+        )
+    return fn
 
 
 def _cast_bf16(tree):
@@ -97,9 +107,16 @@ def make_train_step(
             apply_fn = _bind_apply(model, rng)
             if mixed:
                 inner = apply_fn
-                apply_fn = lambda p, x, _f=inner: _f(
+                wrapped = lambda p, x, _f=inner: _f(
                     _cast_bf16(p), x.astype(jnp.bfloat16)
                 ).astype(jnp.float32)
+                fast = getattr(inner, "_implicitnet_fast", None)
+                if fast is not None:
+                    def _fast_mixed(p, x, _fast=fast):
+                        v, g = _fast(_cast_bf16(p), x.astype(jnp.bfloat16))
+                        return v.astype(jnp.float32), g.astype(jnp.float32)
+                    wrapped._implicitnet_fast = _fast_mixed
+                apply_fn = wrapped
                 tr = dict(tr)  # params stay f32 masters; cast happens inside
             return loss_fn(
                 tr["params"], apply_fn, xb, yb, epoch, rng=rng, aux=tr["aux"]

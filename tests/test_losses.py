@@ -205,3 +205,34 @@ def test_registry_lookup():
     assert get_loss_class("IGRLOSS") is IGRLOSS
     with pytest.raises(ValueError):
         get_loss_class("NopeLoss")
+
+
+def test_implicitnet_fast_path_matches_jvp():
+    """The trainer-advertised shared-matmul forward gradient must equal the
+    generic jvp path for every activation mode."""
+    import jax
+    from sdf_representation_tpu.models import ImplicitNet
+    from sdf_representation_tpu.ops.diffops import (
+        implicitnet_value_and_grad,
+        sdf_and_gradient_fwd,
+    )
+
+    for skip, beta in [((2,), 100.0), ((), 100.0), ((), 0.0)]:
+        model = ImplicitNet(d_in=3, hidden_dims=(32,) * 3, skip_in=skip, beta=beta)
+        params = model.init(jax.random.PRNGKey(0))
+        x = jnp.asarray(
+            np.random.default_rng(0).uniform(-1, 1, (64, 3)).astype(np.float32)
+        )
+        v1, g1 = implicitnet_value_and_grad(model, params, x)
+        v2, g2 = sdf_and_gradient_fwd(model.apply, params, x)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)
+
+
+def test_trainer_binding_advertises_fast_path():
+    from sdf_representation_tpu.models import ImplicitNet
+    from sdf_representation_tpu.training.trainer import _bind_apply
+
+    model = ImplicitNet(d_in=3, hidden_dims=(16,) * 2)
+    fn = _bind_apply(model, None)
+    assert hasattr(fn, "_implicitnet_fast")
