@@ -140,6 +140,14 @@ class Configuration:
         if self.model_name == "KAN":
             layers = (self.input_dim,) + (self.hidden_dim,) * self.num_hidden_layers + (1,)
             return KAN(layers_hidden=layers)
+        if self.model_name == "HashMLP":
+            from ..models.hash_mlp import HashMLP
+
+            return HashMLP(
+                d_in=self.input_dim,
+                hidden_dim=self.hidden_dim,
+                num_layers=max(2, self.num_hidden_layers),
+            )
         return cls()
 
     def make_loss(self):

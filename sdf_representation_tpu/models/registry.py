@@ -4,12 +4,14 @@
 from .implicit_net import ImplicitNet, ImplicitNetCompatible
 from .ffn import FeedForwardNetwork
 from .kan import KAN
+from .hash_mlp import HashMLP
 
 MODEL_REGISTRY = {
     "ImplicitNet": ImplicitNet,
     "ImplicitNetCompatible": ImplicitNetCompatible,
     "FeedForwardNetwork": FeedForwardNetwork,
     "KAN": KAN,
+    "HashMLP": HashMLP,
 }
 
 
