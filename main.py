@@ -25,10 +25,13 @@ def main(argv=None):
     from sdf_representation_tpu.training import Trainer, PointCloudTrainer
 
     config = Configuration(config_file_path)
-    if config.distributed:
-        executor = PointCloudTrainer(config)
-    else:
-        executor = Trainer(config)
+    mesh = None
+    if config.mesh_devices and config.mesh_devices > 1:
+        from sdf_representation_tpu.parallel import get_mesh
+
+        mesh = get_mesh(config.mesh_devices)
+    cls = PointCloudTrainer if config.distributed else Trainer
+    executor = cls(config, mesh=mesh)
     executor.run()
     return 0
 

@@ -21,7 +21,13 @@ def main(argv=None):
     from .training import Trainer, PointCloudTrainer
 
     config = Configuration(argv[0])
-    executor = PointCloudTrainer(config) if config.distributed else Trainer(config)
+    mesh = None
+    if config.mesh_devices and config.mesh_devices > 1:
+        from .parallel import get_mesh
+
+        mesh = get_mesh(config.mesh_devices)
+    cls = PointCloudTrainer if config.distributed else Trainer
+    executor = cls(config, mesh=mesh)
     executor.run()
     return 0
 
