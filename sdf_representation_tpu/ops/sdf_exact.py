@@ -243,15 +243,6 @@ def _sdf_point_block(P, tables, tri_chunk: int):
     return min_d2, best_idx, omega
 
 
-@partial(jax.jit, static_argnames=("tri_chunk",))
-def _sdf_all_blocks(P_blocks, tables, tri_chunk: int):
-    """lax.map over point blocks — ONE dispatch for the whole query set
-    (per-call dispatch costs ~300ms through the axon relay)."""
-    return jax.lax.map(
-        lambda blk: _sdf_point_block(blk, tables, tri_chunk), P_blocks
-    )
-
-
 # ---------------------------------------------------------------------------
 # Public API
 # ---------------------------------------------------------------------------

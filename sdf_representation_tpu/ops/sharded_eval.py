@@ -22,11 +22,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 from jax import shard_map
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from ..models.implicit_net import ImplicitNet
 from ..parallel.mesh import DATA_AXIS
-from .pallas_mlp import LANE, _make_kernel, _round_up, prepare_fused_weights
+from .pallas_mlp import _make_kernel, _round_up, prepare_fused_weights
 
 
 def _local_sweep_pallas(weights, spec, model, n, tile_p, tiles_local,
