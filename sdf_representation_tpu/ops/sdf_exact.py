@@ -341,7 +341,10 @@ def winding_number(
     n_blocks = -(-N // M)
     P_pad = np.zeros((n_blocks * M, 3), dtype=np.float32)
     P_pad[:N] = points.astype(np.float32)
-    _, _, w = _sdf_all_blocks(
-        jnp.asarray(P_pad.reshape(n_blocks, M, 3)), tables, tri_chunk
-    )
-    return np.asarray(w).reshape(-1)[:N] / (4.0 * math.pi)
+    blocks = jnp.asarray(P_pad.reshape(n_blocks, M, 3))
+    ws = [
+        _sdf_point_block(blocks[i], tables, tri_chunk)[2]
+        for i in range(n_blocks)
+    ]
+    w = jnp.concatenate(ws)
+    return np.asarray(w)[:N] / (4.0 * math.pi)
