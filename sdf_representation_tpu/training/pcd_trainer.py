@@ -56,13 +56,17 @@ class PointCloudTrainer(Trainer):
         n_batches = max(1, n_points // batch)
         n_sub = max(1, batch // 3)
 
+        from .trainer import _bind_apply
+
+        apply_fn = _bind_apply(model, None)  # advertises ImplicitNet fast path
+
         def loss_fn(params, xb, rng):
-            pred = model.apply(params, xb)
+            pred = apply_fn(params, xb)
             surface_loss = jnp.mean(jnp.abs(pred))
             k1, k2 = jax.random.split(rng)
             idx = jax.random.permutation(k1, xb.shape[0])[:n_sub]
             sampled = xb[idx] + local_sigma * jax.random.normal(k2, (n_sub, xb.shape[1]))
-            _, grads = sdf_and_gradient_fwd(model.apply, params, sampled)
+            _, grads = sdf_and_gradient_fwd(apply_fn, params, sampled)
             grad_norm = jnp.linalg.norm(grads[:, -3:], axis=-1)
             eik = jnp.mean((grad_norm - 1.0) ** 2)
             return surface_loss + grad_lambda * eik
