@@ -37,7 +37,11 @@ def write_parity_fixtures(
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
     pts = rng.uniform(-1, 1, (n_points, model.d_in)).astype(np.float32)
-    vals, grads = sdf_and_gradient(model.apply, params, pts)
+    # full-precision matmuls: on TPU the default is bf16 passes, which would
+    # bake ~1e-3 error into the parity reference the C++ runtime is diffed
+    # against (the ~1e-7 bar of the reference's difference.csv needs f32)
+    with jax.default_matmul_precision("float32"):
+        vals, grads = sdf_and_gradient(model.apply, params, pts)
     vals = np.asarray(vals, np.float64)
     grads = np.asarray(grads, np.float64)
 
