@@ -17,8 +17,7 @@ Declarative rebuild of the reference Configuration
 from __future__ import annotations
 
 import configparser
-import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 from ..models.registry import get_model_class
 from ..models.implicit_net import ImplicitNet

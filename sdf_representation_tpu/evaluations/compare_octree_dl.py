@@ -15,7 +15,6 @@ returns summary stats.
 from __future__ import annotations
 
 import os
-import re
 import xml.etree.ElementTree as ET
 from typing import Dict, Optional, Tuple
 

@@ -3,7 +3,6 @@ post_process.py bookkeeping plus Chamfer distance for BASELINE.md)."""
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
 
 import numpy as np
 from scipy.spatial import cKDTree

@@ -88,8 +88,14 @@ def post_process(trainer, mesh_path: Optional[str] = None) -> Dict[str, float]:
     save = trainer.postprocess_save_path
     max_mismatch_rows = 2_000_000  # the reference wrote ALL rows — at 256^3
     # that can be a multi-GB CSV taking minutes; cap and record the count
+    abs_err = np.abs(pred - true)
+    # sign labels are threshold-independent: compute the classification
+    # report / confusion matrix ONCE (the reference recomputed them per
+    # threshold on the full grid, post_process.py:125-159) and write both
+    # artifact names for drop-in compatibility
+    report = classification_report_frame(pred, true)
     for tag, thr in (("1", THRESHOLD_1), ("2", THRESHOLD_2)):
-        mism = np.abs(pred - true) > thr
+        mism = abs_err > thr
         rows = coords[mism]
         out[f"n_mismatch_{tag}"] = int(len(rows))
         if len(rows) > max_mismatch_rows:
@@ -101,12 +107,8 @@ def post_process(trainer, mesh_path: Optional[str] = None) -> Dict[str, float]:
         pd.DataFrame(rows, columns=["x", "y", "z"]).to_csv(
             os.path.join(save, f"mismatching_co-ordinates{tag}.csv"), index=False
         )
-        classification_report_frame(pred, true).to_csv(
-            os.path.join(save, f"classification_report{tag}.csv")
-        )
-        confusion_matrix_png(
-            pred, true, os.path.join(save, f"confusion_matrix{tag}.png")
-        )
+        report.to_csv(os.path.join(save, f"classification_report{tag}.csv"))
+    confusion_matrix_png(pred, true, os.path.join(save, "confusion_matrix.png"))
 
     # Chamfer between reconstructed and ground-truth surfaces
     try:

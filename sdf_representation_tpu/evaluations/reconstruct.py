@@ -8,7 +8,6 @@ dense-grid eval (on-device, ops/grid_eval) -> marching tetrahedra
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

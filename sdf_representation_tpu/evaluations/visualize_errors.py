@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import os
 
-import numpy as np
 import pandas as pd
 
 THRESHOLD = 1.0 / 256.0

@@ -8,7 +8,6 @@ Wire types: 0 = varint, 1 = 64-bit, 2 = length-delimited, 5 = 32-bit.
 from __future__ import annotations
 
 import struct
-from typing import Iterable, List, Tuple
 
 
 def varint(value: int) -> bytes:

@@ -9,7 +9,6 @@ parse directly.
 
 from __future__ import annotations
 
-from typing import List
 
 import numpy as np
 

@@ -26,7 +26,7 @@ Intentional fixes vs the reference, each with a regression test:
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,6 @@ All functions take ``apply_fn(params, x)->(B,)`` and are jit/shard_map safe.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

@@ -15,7 +15,6 @@ indexing, i.e. flat index = x * n^2 + y * n + z (executor.py:353-356).
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ Layout (mirrors the reference cadence, executor.py:209-234):
 from __future__ import annotations
 
 import glob
-import json
 import os
 import re
 from typing import Any, Dict, Optional, Tuple

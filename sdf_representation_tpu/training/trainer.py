@@ -28,11 +28,9 @@ shuffling every point is still visited across epochs.
 
 from __future__ import annotations
 
-import dataclasses
 import os
 import time
-from functools import partial
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
