@@ -21,7 +21,11 @@ def chamfer_distance(
 def sign_accuracy(pred_sdf: np.ndarray, true_sdf: np.ndarray) -> float:
     """Fraction of points whose inside/outside classification matches
     (cf. reference post_process.py:102-104, 171-172)."""
-    return float(np.mean((pred_sdf < 0) == (true_sdf < 0)))
+    n = pred_sdf.size
+    if n == 0:
+        return 0.0
+    wrong = np.count_nonzero((pred_sdf < 0) ^ (true_sdf < 0))
+    return float((n - wrong) / n)
 
 
 def thresholded_nmse(
@@ -30,26 +34,72 @@ def thresholded_nmse(
     """Normalized MSE over points where |pred - true| > threshold — the
     reference's "NMSELoss_Mismatch" metric (post_process.py:99-101, 162-163):
     sum of squared errors of mismatching points / sum of squared true values.
+
+    Single-pass float32 arithmetic (the relay host has one slow core; f64
+    temporaries + fancy indexing at 256^3 scale took seconds per call).
     """
-    err = pred_sdf - true_sdf
-    mism = np.abs(err) > threshold
-    denom = float(np.sum(true_sdf**2))
+    t32 = np.asarray(true_sdf, np.float32)
+    err = np.asarray(pred_sdf, np.float32) - t32
+    e2 = err * err
+    denom = float(np.dot(t32, t32))
     if denom == 0:
         return 0.0
-    return float(np.sum(err[mism] ** 2) / denom)
+    num = float(np.sum(np.where(e2 > np.float32(threshold) ** 2, e2, np.float32(0))))
+    return num / denom
+
+
+def sign_confusion_counts(pred_sdf: np.ndarray, true_sdf: np.ndarray):
+    """2x2 confusion counts of the inside(1)/outside(0) labels via three
+    boolean count_nonzero passes (no integer temporaries — the relay host
+    has a single slow core and sklearn's report took minutes at 256^3)."""
+    t = true_sdf < 0
+    p = pred_sdf < 0
+    n = t.size
+    tp = int(np.count_nonzero(t & p))
+    t1 = int(np.count_nonzero(t))
+    p1 = int(np.count_nonzero(p))
+    return np.array(
+        [[n - t1 - p1 + tp, p1 - tp], [t1 - tp, tp]], dtype=np.int64
+    )  # [true][pred]
 
 
 def classification_report_frame(pred_sdf: np.ndarray, true_sdf: np.ndarray):
-    """sklearn classification report on the sign labels, as a DataFrame
-    (cf. post_process.py generate_classification_report :21-28)."""
+    """Per-class precision/recall/f1/support on the sign labels, as a
+    DataFrame with sklearn's classification_report layout
+    (cf. post_process.py generate_classification_report :21-28) but derived
+    analytically from the confusion counts (O(N) one pass)."""
     import pandas as pd
-    from sklearn.metrics import classification_report
 
-    rep = classification_report(
-        (true_sdf < 0).astype(int), (pred_sdf < 0).astype(int), output_dict=True,
-        zero_division=0,
-    )
-    return pd.DataFrame(rep).transpose()
+    cm = sign_confusion_counts(pred_sdf, true_sdf)
+    total = cm.sum()
+    rows = {}
+    f1s, precs, recs, supports = [], [], [], []
+    for cls in (0, 1):
+        tp = cm[cls, cls]
+        support = cm[cls].sum()
+        pred_pos = cm[:, cls].sum()
+        prec = tp / pred_pos if pred_pos else 0.0
+        rec = tp / support if support else 0.0
+        f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+        rows[str(cls)] = {
+            "precision": prec, "recall": rec, "f1-score": f1,
+            "support": float(support),
+        }
+        precs.append(prec); recs.append(rec); f1s.append(f1)
+        supports.append(support)
+    acc = (cm[0, 0] + cm[1, 1]) / total if total else 0.0
+    rows["accuracy"] = {"precision": acc, "recall": acc, "f1-score": acc,
+                        "support": float(total)}
+    rows["macro avg"] = {
+        "precision": np.mean(precs), "recall": np.mean(recs),
+        "f1-score": np.mean(f1s), "support": float(total),
+    }
+    w = np.asarray(supports) / max(total, 1)
+    rows["weighted avg"] = {
+        "precision": float(np.dot(w, precs)), "recall": float(np.dot(w, recs)),
+        "f1-score": float(np.dot(w, f1s)), "support": float(total),
+    }
+    return pd.DataFrame(rows).transpose()
 
 
 def confusion_matrix_png(
@@ -60,9 +110,8 @@ def confusion_matrix_png(
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
-    from sklearn.metrics import confusion_matrix
 
-    cm = confusion_matrix((true_sdf < 0).astype(int), (pred_sdf < 0).astype(int))
+    cm = sign_confusion_counts(pred_sdf, true_sdf)
     fig, ax = plt.subplots()
     im = ax.imshow(cm, cmap="Blues")
     for (i, j), v in np.ndenumerate(cm):

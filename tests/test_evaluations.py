@@ -141,3 +141,28 @@ def test_normal_comparison(tmp_path):
     for f in ("computed.csv", "error_points.csv", "similarity_points.csv",
               "similarity.csv", "exact_wf.csv"):
         assert (tmp_path / f).exists(), f
+
+
+def test_classification_report_matches_sklearn():
+    """The analytic report must equal sklearn's on the same labels."""
+    import pandas as pd
+    from sklearn.metrics import classification_report as sk_report
+
+    from sdf_representation_tpu.evaluations.metrics import (
+        classification_report_frame,
+        sign_confusion_counts,
+    )
+
+    rng = np.random.default_rng(0)
+    true = rng.normal(size=5000)
+    noisy = true + rng.normal(scale=0.5, size=5000)
+    ours = classification_report_frame(noisy, true)
+    sk = pd.DataFrame(
+        sk_report((true < 0).astype(int), (noisy < 0).astype(int),
+                  output_dict=True, zero_division=0)
+    ).transpose()
+    for row in ("0", "1", "macro avg", "weighted avg"):
+        for col in ("precision", "recall", "f1-score", "support"):
+            assert abs(ours.loc[row, col] - sk.loc[row, col]) < 1e-9, (row, col)
+    cm = sign_confusion_counts(noisy, true)
+    assert cm.sum() == 5000
