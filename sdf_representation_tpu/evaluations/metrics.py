@@ -68,9 +68,12 @@ def classification_report_frame(pred_sdf: np.ndarray, true_sdf: np.ndarray):
     DataFrame with sklearn's classification_report layout
     (cf. post_process.py generate_classification_report :21-28) but derived
     analytically from the confusion counts (O(N) one pass)."""
+    return _report_from_confusion(sign_confusion_counts(pred_sdf, true_sdf))
+
+
+def _report_from_confusion(cm: np.ndarray):
     import pandas as pd
 
-    cm = sign_confusion_counts(pred_sdf, true_sdf)
     total = cm.sum()
     rows = {}
     f1s, precs, recs, supports = [], [], [], []
@@ -103,7 +106,7 @@ def classification_report_frame(pred_sdf: np.ndarray, true_sdf: np.ndarray):
 
 
 def confusion_matrix_png(
-    pred_sdf: np.ndarray, true_sdf: np.ndarray, path: str
+    pred_sdf: np.ndarray, true_sdf: np.ndarray, path: str, cm=None
 ) -> None:
     """Confusion-matrix heatmap (cf. post_process.py :29-38)."""
     import matplotlib
@@ -111,7 +114,8 @@ def confusion_matrix_png(
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    cm = sign_confusion_counts(pred_sdf, true_sdf)
+    if cm is None:
+        cm = sign_confusion_counts(pred_sdf, true_sdf)
     fig, ax = plt.subplots()
     im = ax.imshow(cm, cmap="Blues")
     for (i, j), v in np.ndenumerate(cm):
@@ -121,3 +125,47 @@ def confusion_matrix_png(
     fig.colorbar(im)
     fig.savefig(path, dpi=100)
     plt.close(fig)
+
+
+def compute_grid_metrics(pred_sdf: np.ndarray, true_sdf: np.ndarray,
+                         thresholds=(0.01, 0.00025)):
+    """All post-process scalar metrics + mismatch masks in ONE device call.
+
+    At 256^3 scale the host (one slow core on the relay VM) needs seconds per
+    elementwise pass; the TPU does the whole reduction set in milliseconds.
+    Returns dict with nmse_{t}, sign_accuracy, confusion (2,2), and
+    mismatch_masks list of boolean arrays (host numpy).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _metrics(p, t):
+        err = p - t
+        e2 = err * err
+        denom = jnp.dot(t, t)
+        masks = [jnp.abs(err) > thr for thr in thresholds]
+        nmses = [jnp.sum(jnp.where(m, e2, 0.0)) / jnp.maximum(denom, 1e-30)
+                 for m in masks]
+        ti = t < 0
+        pi = p < 0
+        tp = jnp.count_nonzero(ti & pi)
+        t1 = jnp.count_nonzero(ti)
+        p1 = jnp.count_nonzero(pi)
+        return nmses, masks, (tp, t1, p1)
+
+    # device arrays pass straight through — never np.asarray them first
+    # (that would fetch the whole grid through the slow relay)
+    p32 = jnp.asarray(pred_sdf, jnp.float32).reshape(-1)
+    t32 = jnp.asarray(true_sdf, jnp.float32).reshape(-1)
+    nmses, masks, (tp, t1, p1) = _metrics(p32, t32)
+    n = int(p32.size)
+    tp, t1, p1 = int(tp), int(t1), int(p1)
+    cm = np.array([[n - t1 - p1 + tp, p1 - tp], [t1 - tp, tp]], np.int64)
+    out = {
+        f"nmse_{thr}": float(v) for thr, v in zip(thresholds, nmses)
+    }
+    out["sign_accuracy"] = (cm[0, 0] + cm[1, 1]) / max(n, 1)
+    out["confusion"] = cm
+    out["mismatch_masks"] = [np.asarray(m) for m in masks]
+    return out

@@ -32,11 +32,9 @@ from ..geometry.mesh_io import load_mesh
 from ..ops.grid_eval import evaluate_points, grid_coords
 from ..ops.sdf_exact import signed_distance
 from .metrics import (
+    _report_from_confusion,
     chamfer_distance,
-    classification_report_frame,
     confusion_matrix_png,
-    sign_accuracy,
-    thresholded_nmse,
 )
 
 THRESHOLD_1 = 0.01
@@ -71,31 +69,37 @@ def post_process(trainer, mesh_path: Optional[str] = None) -> Dict[str, float]:
     ):
         from ..ops.pallas_mlp import fused_grid_eval
 
-        pred = np.asarray(
-            fused_grid_eval(trainer.model, params, n)
-        ).reshape(-1)
+        pred = fused_grid_eval(trainer.model, params, n)  # stays on device
     else:
         pred = evaluate_points(
             trainer.model.apply, params, coords, chunk=min(c.ppbatchsize, 262144)
         )
-    true, _ = signed_distance(coords.astype(np.float64), mesh)
+    # exact distances stay on device too: D2H through the relay runs at a
+    # few MB/s, and the metrics reduce on-device anyway
+    true, _ = signed_distance(
+        coords, mesh, return_normals=False, return_device=True
+    )
 
+    from .metrics import compute_grid_metrics
+
+    gm = compute_grid_metrics(pred, true, thresholds=(THRESHOLD_1, THRESHOLD_2))
     out: Dict[str, float] = {}
-    out["nmse_0.01"] = thresholded_nmse(pred, true, THRESHOLD_1)
-    out["nmse_0.00025"] = thresholded_nmse(pred, true, THRESHOLD_2)
-    out["sign_accuracy"] = sign_accuracy(pred, true)
+    out["nmse_0.01"] = gm[f"nmse_{THRESHOLD_1}"]
+    out["nmse_0.00025"] = gm[f"nmse_{THRESHOLD_2}"]
+    out["sign_accuracy"] = gm["sign_accuracy"]
 
     save = trainer.postprocess_save_path
     max_mismatch_rows = 2_000_000  # the reference wrote ALL rows — at 256^3
     # that can be a multi-GB CSV taking minutes; cap and record the count
-    abs_err = np.abs(pred - true)
     # sign labels are threshold-independent: compute the classification
     # report / confusion matrix ONCE (the reference recomputed them per
     # threshold on the full grid, post_process.py:125-159) and write both
     # artifact names for drop-in compatibility
-    report = classification_report_frame(pred, true)
-    for tag, thr in (("1", THRESHOLD_1), ("2", THRESHOLD_2)):
-        mism = abs_err > thr
+    report = _report_from_confusion(gm["confusion"])
+    for tag, (thr, mism) in (
+        ("1", (THRESHOLD_1, gm["mismatch_masks"][0])),
+        ("2", (THRESHOLD_2, gm["mismatch_masks"][1])),
+    ):
         rows = coords[mism]
         out[f"n_mismatch_{tag}"] = int(len(rows))
         if len(rows) > max_mismatch_rows:
@@ -108,7 +112,10 @@ def post_process(trainer, mesh_path: Optional[str] = None) -> Dict[str, float]:
             os.path.join(save, f"mismatching_co-ordinates{tag}.csv"), index=False
         )
         report.to_csv(os.path.join(save, f"classification_report{tag}.csv"))
-    confusion_matrix_png(pred, true, os.path.join(save, "confusion_matrix.png"))
+    confusion_matrix_png(
+        pred, true, os.path.join(save, "confusion_matrix.png"),
+        cm=gm["confusion"],
+    )
 
     # Chamfer between reconstructed and ground-truth surfaces
     try:

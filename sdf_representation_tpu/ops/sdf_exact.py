@@ -22,10 +22,13 @@ solid angle of all triangles, > 2*pi  => inside. Exact for watertight meshes,
 gracefully degrading for soup — and unlike libigl's pseudonormal test it
 needs no combinatorial structure, so it vectorises perfectly.
 
-Precision: the tile pass runs in float32 (plenty to pick the nearest triangle
-and the sign); the final distance/closest-point for the single winning
-triangle per point is then recomputed on host in float64, so labels carry no
-f32 cancellation error even in the narrow band.
+Precision: everything runs in float32 on device. The tile pass picks the
+winning triangle; a per-point device refinement recomputes its closest point
+via the DIRECT (P - closest) difference, so the narrow band carries only
+coordinate-epsilon error (~1e-7 relative). float64 host refinement was
+dropped: it took minutes at 256^3 scale on the relay VM's single core, for
+accuracy the labels never needed (closest_point_on_triangles remains as the
+float64 test oracle).
 
 Normal convention: the returned normal is the SDF *gradient*
 sign * (P - closest)/|P - closest|, falling back to the face normal of the
@@ -48,6 +51,10 @@ import numpy as np
 from ..geometry.mesh_io import Mesh
 
 __all__ = ["signed_distance", "winding_number", "closest_point_on_triangles"]
+
+
+def _round_up_8k(x: int) -> int:
+    return max(8192, -(-x // 8192) * 8192)
 
 
 # ---------------------------------------------------------------------------
@@ -243,9 +250,71 @@ def _sdf_point_block(P, tables, tri_chunk: int):
     return min_d2, best_idx, omega
 
 
+@partial(jax.jit, static_argnames=("tri_chunk",))
+def _sdf_all_blocks(P_blocks, tables, tri_chunk: int):
+    """lax.map over point blocks: ONE dispatch for the whole query set
+    (each separate dispatch costs ~1s through the axon relay). Viable only
+    with the two-scan _sdf_point_block — mapping the old fused variant
+    spilled catastrophically."""
+    return jax.lax.map(
+        lambda blk: _sdf_point_block(blk, tables, tri_chunk), P_blocks
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public API
 # ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("on_surface_eps",))
+def _refine_device(P_cols, tri_flat, best_idx, omega, on_surface_eps: float):
+    """Per-point refinement on the winning triangle, entirely on device:
+    gather -> Eberly closest point -> distance/sign/gradient. The direct
+    (P - closest) difference keeps f32 error at coordinate epsilon even in
+    the narrow band; the old host float64 pass took MINUTES at 256^3 scale
+    on the relay VM's single slow core.
+
+    Everything is computed on 1-D (N,) component arrays: any (N, 3)- or
+    (N, 3, 3)-shaped intermediate gets tile-padded on its minor dims by the
+    TPU layout (a (16.7M, 3, 3) gather materialises as 34 GB of HBM).
+
+    P_cols: tuple of 3 (N,) arrays; tri_flat: (9F,) flattened triangles
+    [v0x v0y v0z v1x ... v2z] per face. Returns (sdf (N,), grads tuple of 3
+    (N,) arrays)."""
+    px, py, pz = P_cols
+    base = best_idx * 9
+
+    def g(k):
+        return jnp.take(tri_flat, base + k)
+
+    v0 = (g(0), g(1), g(2))
+    v1 = (g(3), g(4), g(5))
+    v2 = (g(6), g(7), g(8))
+    e0 = tuple(v1[k] - v0[k] for k in range(3))
+    e1 = tuple(v2[k] - v0[k] for k in range(3))
+    dvec = (v0[0] - px, v0[1] - py, v0[2] - pz)
+
+    dot = lambda a, b: a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+    s, t = _eberly_st(dot(e0, e0), dot(e0, e1), dot(e1, e1),
+                      dot(e0, dvec), dot(e1, dvec))
+    closest = tuple(v0[k] + s * e0[k] + t * e1[k] for k in range(3))
+    diff = (px - closest[0], py - closest[1], pz - closest[2])
+    dist = jnp.sqrt(jnp.maximum(dot(diff, diff), 0.0))
+    sign = jnp.where(omega > (2.0 * math.pi), -1.0, 1.0)
+    sdf = sign * dist
+
+    # face normal (cross product, componentwise)
+    nx = e0[1] * e1[2] - e0[2] * e1[1]
+    ny = e0[2] * e1[0] - e0[0] * e1[2]
+    nz = e0[0] * e1[1] - e0[1] * e1[0]
+    nlen = jnp.maximum(jnp.sqrt(nx * nx + ny * ny + nz * nz), 1e-30)
+    inv_d = sign / jnp.maximum(dist, 1e-30)
+    on_surf = dist <= on_surface_eps
+    grads = tuple(
+        jnp.where(on_surf, nc / nlen, dc * inv_d)
+        for nc, dc in ((nx, diff[0]), (ny, diff[1]), (nz, diff[2]))
+    )
+    return sdf, grads
+
 
 def signed_distance(
     points: np.ndarray,
@@ -253,23 +322,28 @@ def signed_distance(
     faces: Optional[np.ndarray] = None,
     *,
     return_normals: bool = True,
-    point_chunk: int = 8192,
+    point_chunk: Optional[int] = None,
     tri_chunk: int = 1024,
-    on_surface_eps: float = 1e-9,
+    on_surface_eps: float = 1e-6,
+    return_device: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Signed distance (negative inside) and SDF-gradient normals.
 
     Drop-in for the role of igl.signed_distance in the reference pipeline
     (data_generator.py:880-906). Accepts a Mesh or (vertices, faces).
-    Handles arbitrary N by tiling; all-pairs work executes on the default JAX
-    backend (TPU when available).
+    Handles arbitrary N by tiling; ALL math (tile sweep, winning-triangle
+    refinement, sign, gradients) executes on the default JAX backend.
+
+    return_device=True returns jnp arrays without fetching (for device-side
+    consumers like compute_grid_metrics — D2H through the relay runs at a
+    few MB/s, so avoid fetching 256^3-sized results you don't need on host).
     """
     if isinstance(mesh_or_vertices, Mesh):
         vertices, faces = mesh_or_vertices.vertices, mesh_or_vertices.faces
     else:
         vertices = mesh_or_vertices
         assert faces is not None
-    points = np.ascontiguousarray(points, dtype=np.float64)
+    points = np.ascontiguousarray(points, dtype=np.float32)
     N = len(points)
     if N == 0:
         return np.zeros(0), np.zeros((0, 3))
@@ -277,47 +351,35 @@ def signed_distance(
     tables_np, F = _triangle_tables(vertices, faces, tri_chunk)
     tables = {k: jnp.asarray(v) for k, v in tables_np.items()}
 
-    # pad points to a multiple of point_chunk
+    if point_chunk is None:
+        # every dispatch costs ~0.1s through the relay: keep the block count
+        # bounded while capping the (chunk x tri_chunk) tile memory
+        point_chunk = int(min(65536, max(8192, _round_up_8k(N // 64))))
     M = point_chunk
     n_blocks = -(-N // M)
     P_pad = np.zeros((n_blocks * M, 3), dtype=np.float32)
-    P_pad[:N] = points.astype(np.float32)
+    P_pad[:N] = points
 
-    # ONE host->device upload and ONE device->host fetch — individual
-    # transfers round-trip the relay at ~300ms each
+    # ONE upload, ONE device dispatch chain — anything per-block round-trips
+    # the relay at ~0.3-1s a pop
     blocks = jnp.asarray(P_pad.reshape(n_blocks, M, 3))
-    results = [
-        _sdf_point_block(blocks[i], tables, tri_chunk) for i in range(n_blocks)
-    ]
-    stacked = (
-        jnp.concatenate([r[0] for r in results]),
-        jnp.concatenate([r[1] for r in results]),
-        jnp.concatenate([r[2] for r in results]),
+    _, b, w = _sdf_all_blocks(blocks, tables, tri_chunk)
+    best_idx = jnp.clip(b.reshape(-1)[:N], 0, F - 1)
+    omega = w.reshape(-1)[:N]
+
+    tri_flat = jnp.asarray(
+        vertices[np.asarray(faces)].astype(np.float32).reshape(-1)
     )
-    min_d2, best_idx, omega = (np.asarray(x)[:N] for x in stacked)
-    best_idx = np.clip(best_idx, 0, F - 1)
+    flat = blocks.reshape(-1, 3)
+    P_cols = (flat[:N, 0], flat[:N, 1], flat[:N, 2])
+    sdf, grads = _refine_device(P_cols, tri_flat, best_idx, omega, on_surface_eps)
 
-    # host float64 refinement on the winning triangle only
-    tri = vertices[np.asarray(faces)[best_idx]].astype(np.float64)  # (N,3,3)
-    closest = closest_point_on_triangles(points, tri)
-    diff = points - closest
-    dist = np.linalg.norm(diff, axis=1)
-
-    inside = omega > (2.0 * math.pi)  # winding number > 1/2
-    sign = np.where(inside, -1.0, 1.0)
-    sdf = sign * dist
-
+    if return_device:
+        return sdf, (jnp.stack(grads, axis=-1) if return_normals else None)
     if not return_normals:
-        return sdf, None
-
-    face_n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
-    face_n /= np.maximum(np.linalg.norm(face_n, axis=1, keepdims=True), 1e-300)
-    grad = np.where(
-        dist[:, None] > on_surface_eps,
-        sign[:, None] * diff / np.maximum(dist[:, None], 1e-300),
-        face_n,
-    )
-    return sdf, grad
+        return np.asarray(sdf, dtype=np.float64), None
+    grad = np.stack([np.asarray(gc) for gc in grads], axis=-1).astype(np.float64)
+    return np.asarray(sdf, dtype=np.float64), grad
 
 
 def winding_number(
@@ -342,9 +404,5 @@ def winding_number(
     P_pad = np.zeros((n_blocks * M, 3), dtype=np.float32)
     P_pad[:N] = points.astype(np.float32)
     blocks = jnp.asarray(P_pad.reshape(n_blocks, M, 3))
-    ws = [
-        _sdf_point_block(blocks[i], tables, tri_chunk)[2]
-        for i in range(n_blocks)
-    ]
-    w = jnp.concatenate(ws)
-    return np.asarray(w)[:N] / (4.0 * math.pi)
+    _, _, w = _sdf_all_blocks(blocks, tables, tri_chunk)
+    return np.asarray(w).reshape(-1)[:N] / (4.0 * math.pi)
