@@ -356,7 +356,11 @@ def signed_distance(
         # bounded while capping the (chunk x tri_chunk) tile memory
         point_chunk = int(min(65536, max(8192, _round_up_8k(N // 64))))
     M = point_chunk
+    # round the block count up to a power of two: the remote compiler takes
+    # minutes per (n_blocks, M) shape, so bound the variant space (padding
+    # blocks compute garbage that the [:N] trims; <=2x waste worst case)
     n_blocks = -(-N // M)
+    n_blocks = 1 << max(0, (n_blocks - 1).bit_length())
     P_pad = np.zeros((n_blocks * M, 3), dtype=np.float32)
     P_pad[:N] = points
 
