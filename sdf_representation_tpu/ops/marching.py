@@ -67,6 +67,39 @@ _CASE_TRIS = {
 }
 
 
+def _build_flip_table():
+    """flip_table[tet_local (0..5), case (0..15), tri_k (0..1)] -> bool.
+
+    The orientation of a case-table triangle relative to the inside->outside
+    direction is a combinatorial invariant of (tet parity, case): the
+    interpolated vertices slide along fixed edges and can never cross the
+    tet, so one canonical evaluation per (tet, case, k) decides the flip for
+    every runtime triangle. (Replaces a per-triangle geometric pass that
+    cost ~half the extraction time on the single-core relay host.)"""
+    table = np.zeros((6, 16, 2), dtype=bool)
+    for tet_local in range(6):
+        corners = _CORNERS[_TETS[tet_local]].astype(np.float64)  # (4, 3)
+        for case_id, tris in _CASE_TRIS.items():
+            inside = [(case_id >> i) & 1 for i in range(4)]
+            vals = np.where(inside, -1.0, 1.0)
+            cent_in = corners[np.asarray(inside, bool)].mean(axis=0)
+            cent_out = corners[~np.asarray(inside, bool)].mean(axis=0)
+            for k, tri in enumerate(tris):
+                pts = []
+                for e in tri:
+                    a, b = _TET_EDGES[e]
+                    t = (0.0 - vals[a]) / (vals[b] - vals[a])
+                    pts.append(corners[a] + t * (corners[b] - corners[a]))
+                normal = np.cross(pts[1] - pts[0], pts[2] - pts[0])
+                table[tet_local, case_id, k] = (
+                    float(np.dot(normal, cent_out - cent_in)) < 0
+                )
+    return table
+
+
+_FLIP_TABLE = _build_flip_table()
+
+
 def marching_cubes(
     volume: np.ndarray,
     level: float = 0.0,
@@ -78,7 +111,8 @@ def marching_cubes(
     Returns (vertices (V,3) float64 in world coords, faces (F,3) int64),
     faces oriented with normals pointing toward values > level.
     """
-    vol = np.asarray(volume, dtype=np.float64)
+    vol = np.asarray(volume, dtype=np.float32)
+    level = np.float32(level)
     nx, ny, nz = vol.shape
     if min(nx, ny, nz) < 2:
         return np.zeros((0, 3)), np.zeros((0, 3), dtype=np.int64)
@@ -117,17 +151,21 @@ def marching_cubes(
 
     tri_edge_list = []  # (n_tris, 3) tet-edge ids
     tri_tet_idx = []  # (n_tris,) index into tets
+    tri_flip_list = []  # per-triangle precomputed orientation flips
     for case_id, tris in _CASE_TRIS.items():
         sel = np.nonzero(case == case_id)[0]
         if len(sel) == 0:
             continue
-        for tri in tris:
+        tet_local = sel % 6
+        for k, tri in enumerate(tris):
             tri_edge_list.append(np.broadcast_to(np.asarray(tri), (len(sel), 3)))
             tri_tet_idx.append(sel)
+            tri_flip_list.append(_FLIP_TABLE[tet_local, case_id, k])
     if not tri_edge_list:
         return np.zeros((0, 3)), np.zeros((0, 3), dtype=np.int64)
     tri_edges = np.concatenate(tri_edge_list)  # (Ntri, 3)
     tri_tets = np.concatenate(tri_tet_idx)  # (Ntri,)
+    tri_flips = np.concatenate(tri_flip_list)  # (Ntri,)
 
     # ---- 3. edge vertices + welding ------------------------------------
     # edge endpoints as global point ids
@@ -151,25 +189,11 @@ def marching_cubes(
         )
 
     pa, pb = unflatten(u_lo), unflatten(u_hi)
-    verts_idx = pa + t[:, None] * (pb - pa)  # index space
+    verts_idx = pa + t.astype(np.float64)[:, None] * (pb - pa)  # index space
     faces = inv.reshape(-1, 3)
 
-    # ---- 4. orientation -------------------------------------------------
-    vpos = verts_idx[faces]  # (Ntri, 3, 3)
-    normal = np.cross(vpos[:, 1] - vpos[:, 0], vpos[:, 2] - vpos[:, 0])
-    # direction from inside corners toward outside corners of the owning tet
-    tpts = unflatten(tet_ids[tri_tets].reshape(-1)).reshape(-1, 4, 3)
-    tvals = tet_vals[tri_tets]
-    w_out = (tvals >= level).astype(np.float64)
-    w_in = 1.0 - w_out
-    cent_out = (tpts * w_out[..., None]).sum(1) / np.maximum(
-        w_out.sum(1, keepdims=True), 1e-300
-    )
-    cent_in = (tpts * w_in[..., None]).sum(1) / np.maximum(
-        w_in.sum(1, keepdims=True), 1e-300
-    )
-    flip = np.einsum("ij,ij->i", normal, cent_out - cent_in) < 0
-    faces[flip] = faces[flip][:, ::-1]
+    # ---- 4. orientation: precomputed per (tet parity, case) --------------
+    faces[tri_flips] = faces[tri_flips][:, ::-1]
 
     # drop degenerate (zero-area after welding) triangles
     ok = (
