@@ -121,6 +121,10 @@ class IGRLOSS:
     tau: float = 1.0
     lambda_g: float = 0.1
     regularizer_threshold: float = 1.0
+    # 1.0 reproduces the reference's batch-GLOBAL normal normalisation quirk
+    # (losses.py:129) bit-for-bit compatibility; 0.0 (default) normalises
+    # per row, which is what cosine similarity actually requires
+    global_norm_quirk: float = 0.0
 
     def __call__(self, params, apply_fn, x_batch, y_batch, epoch, rng=None, aux=None):
         d = self.delta
@@ -132,9 +136,10 @@ class IGRLOSS:
 
         grad_norm = jnp.linalg.norm(normal, axis=-1)
         true_normal = y_batch[:, 1:4]
-        # per-row normalisation (reference divides by the batch-global norm,
-        # losses.py:129 — intentional fix, see module docstring)
-        unit_normal = normal / (grad_norm[:, None] + 1e-12)
+        if self.global_norm_quirk > 0:
+            unit_normal = normal / (jnp.linalg.norm(normal) + 1e-12)
+        else:
+            unit_normal = normal / (grad_norm[:, None] + 1e-12)
         unit_true = true_normal / (
             jnp.linalg.norm(true_normal, axis=-1, keepdims=True) + 1e-12
         )

@@ -179,3 +179,25 @@ def test_deeptrace_disabled(tmp_path, native_build):
     )
     assert res.returncode == 0
     assert "nothing to do" in res.stderr
+
+
+def test_export_cli(tmp_path):
+    """python -m sdf_representation_tpu.export drives checkpoint -> files."""
+    import subprocess, sys
+
+    from tests.test_trainer import sphere_dataset, tiny_config
+    from sdf_representation_tpu.training import Trainer
+
+    cfg = tiny_config(tmp_path, epochs=2)
+    Trainer(cfg).train(dataset=sphere_dataset(1500))
+    out = tmp_path / "exported"
+    r = subprocess.run(
+        [sys.executable, "-m", "sdf_representation_tpu.export",
+         str(tmp_path / "c.ini"), str(out), "--quantize", "--fixtures", "8"],
+        capture_output=True, text=True, cwd=REPO,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    for f in ("model.sdfw", "model.onnx", "model_int8.sdfw", "input.csv",
+              "output.csv", "gradient.csv"):
+        assert (out / f).exists(), f

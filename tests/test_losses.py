@@ -236,3 +236,16 @@ def test_trainer_binding_advertises_fast_path():
     model = ImplicitNet(d_in=3, hidden_dims=(16,) * 2)
     fn = _bind_apply(model, None)
     assert hasattr(fn, "_implicitnet_fast")
+
+
+def test_igr_global_norm_quirk_flag():
+    """global_norm_quirk=1 reproduces the reference's batch-global normal
+    normalisation (losses.py:129); default stays per-row."""
+    x, y = make_batch()
+    fixed = IGRLOSS(tau=1.0, lambda_g=0.0)
+    quirky = IGRLOSS(tau=1.0, lambda_g=0.0, global_norm_quirk=1.0)
+    v_fixed = float(fixed(DUMMY, sphere_apply, x, y, 0))
+    v_quirk = float(quirky(DUMMY, sphere_apply, x, y, 0))
+    # exact sphere: per-row cosine = 1 -> ~0; global-norm makes cos != 1
+    assert v_fixed < 1e-6
+    assert v_quirk > 1e-3
