@@ -108,3 +108,54 @@ def test_rescale_semantics():
 def test_unsupported_format_raises(tmp_path):
     with pytest.raises(ValueError):
         load_mesh(str(tmp_path / "x.xyz"))
+
+
+# ---- malformed-input robustness (loaders must fail loudly, not crash) ------
+
+def test_truncated_binary_stl(tmp_path):
+    import struct
+
+    p = tmp_path / "trunc.stl"
+    with open(p, "wb") as f:
+        f.write(b"\0" * 80)
+        f.write(struct.pack("<I", 100))  # claims 100 triangles
+        f.write(b"\0" * 120)  # far too short
+    with pytest.raises(ValueError, match="Truncated"):
+        load_mesh(str(p))
+
+
+def test_garbage_ascii_stl(tmp_path):
+    p = tmp_path / "bad.stl"
+    p.write_text("solid x\nfacet normal 0 0 1\nvertex 1 2\nendsolid\n")
+    with pytest.raises((ValueError, IndexError)):
+        load_mesh(str(p))
+
+
+def test_ply_without_header(tmp_path):
+    p = tmp_path / "bad.ply"
+    p.write_bytes(b"not a ply file at all")
+    with pytest.raises(ValueError, match="PLY"):
+        load_mesh(str(p))
+
+
+def test_obj_with_negative_indices(tmp_path):
+    p = tmp_path / "neg.obj"
+    p.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf -3 -2 -1\n")
+    m = load_mesh(str(p))
+    np.testing.assert_array_equal(m.faces, [[0, 1, 2]])
+
+
+def test_obj_polygon_fan(tmp_path):
+    p = tmp_path / "quad.obj"
+    p.write_text("v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\nf 1/1 2/2 3/3 4/4\n")
+    m = load_mesh(str(p))
+    assert len(m.faces) == 2  # quad fan-triangulated
+
+
+def test_empty_msh_raises(tmp_path):
+    from sdf_representation_tpu.geometry.msh_io import read_msh_nodes
+
+    p = tmp_path / "empty.msh"
+    p.write_text("$MeshFormat\n2.2 0 8\n$EndMeshFormat\n")
+    with pytest.raises(ValueError, match="Nodes"):
+        read_msh_nodes(str(p))
