@@ -76,3 +76,16 @@ def test_tpu_section_parsing(tmp_path):
     assert c0.epochs_per_call == 1
     assert c0.train_matmul_precision is None
     assert c0.use_pallas is True
+
+
+def test_hashmlp_via_config(tmp_path):
+    cfg = _swap_model(tmp_path, "HashMLP", 64, 3)
+    from sdf_representation_tpu.models import HashMLP
+
+    model = cfg.make_model()
+    assert isinstance(model, HashMLP)
+    trainer = Trainer(cfg)
+    # shrink tables for a fast CPU test
+    trainer.model = HashMLP(n_levels=4, log2_table_size=11, max_resolution=64)
+    res = trainer.train(dataset=sphere_dataset(1500))
+    assert res["train_losses"][-1] < res["train_losses"][0] * 0.5
