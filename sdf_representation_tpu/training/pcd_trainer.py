@@ -58,7 +58,14 @@ class PointCloudTrainer(Trainer):
 
         from .trainer import _bind_apply
 
-        apply_fn = _bind_apply(model, None)  # advertises ImplicitNet fast path
+        # fused Pallas eikonal VJP under the same opt-in as the main trainer:
+        # mixed precision requested, unsharded, real TPU backend
+        prec = getattr(self.config, "train_matmul_precision", None)
+        pallas_igr = (
+            prec == "bfloat16" and mesh is None
+            and jax.default_backend() not in ("cpu",)
+        )
+        apply_fn = _bind_apply(model, None, pallas_igr=pallas_igr)
 
         def loss_fn(params, xb, rng):
             pred = apply_fn(params, xb)

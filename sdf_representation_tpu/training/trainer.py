@@ -48,22 +48,30 @@ from . import checkpoint as ckpt
 # jitted step/epoch factories (also used by __graft_entry__ and tests)
 # ---------------------------------------------------------------------------
 
-def _bind_apply(model, rng):
+def _bind_apply(model, rng, pallas_igr: bool = False):
     """Per-step apply closure; models with dropout get the step rng.
-    ImplicitNet closures advertise the shared-matmul forward-gradient fast
-    path consumed by sdf_and_gradient_fwd (eikonal/normal losses)."""
+    ImplicitNet closures advertise a forward-gradient fast path consumed by
+    sdf_and_gradient_fwd (eikonal/normal losses): the XLA shared-matmul
+    derivation by default, or — when ``pallas_igr`` — the fused Pallas
+    custom-VJP kernels (ops/pallas_igr, 1.6x IGRLOSS epoch throughput)."""
     import inspect
 
     from ..models.implicit_net import ImplicitNet as _INet
-    from ..ops.diffops import implicitnet_value_and_grad
 
     if "train" in inspect.signature(model.apply).parameters:
         return lambda p, x: model.apply(p, x, rng=rng, train=True)
     fn = lambda p, x: model.apply(p, x)
     if isinstance(model, _INet):
-        fn._implicitnet_fast = lambda p, x: implicitnet_value_and_grad(
-            model, p, x
-        )
+        if pallas_igr:
+            from ..ops.pallas_igr import make_fused_value_and_grad
+
+            fn._implicitnet_fast = make_fused_value_and_grad(model)
+        else:
+            from ..ops.diffops import implicitnet_value_and_grad
+
+            fn._implicitnet_fast = lambda p, x: implicitnet_value_and_grad(
+                model, p, x
+            )
     return fn
 
 
@@ -82,6 +90,7 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     mesh=None,
     matmul_precision: Optional[str] = None,
+    pallas_igr: Optional[bool] = None,
 ) -> Callable:
     """(trainable, opt_state, x, y, rng, epoch) -> (trainable, opt_state, loss).
 
@@ -94,15 +103,24 @@ def make_train_step(
                     (halves HBM activation traffic, single-pass MXU; the loss
                     itself is computed in f32). ~1.4x step throughput.
       other       — passed to jax.default_matmul_precision.
+
+    pallas_igr: use the fused Pallas custom-VJP kernels for the eikonal
+    losses' forward-gradient (ops/pallas_igr). None = auto: on when running
+    on a real TPU backend in mixed precision on an unsharded step (the
+    kernels are single-device; the mesh path keeps the XLA derivation).
     """
     mixed = matmul_precision == "bfloat16"
+    if pallas_igr is None:
+        pallas_igr = (
+            mixed and mesh is None and jax.default_backend() not in ("cpu",)
+        )
 
     def step(trainable, opt_state, xb, yb, rng, epoch):
         xb = shard_batch(xb, mesh)
         yb = shard_batch(yb, mesh)
 
         def objective(tr):
-            apply_fn = _bind_apply(model, rng)
+            apply_fn = _bind_apply(model, rng, pallas_igr=pallas_igr)
             if mixed:
                 inner = apply_fn
                 wrapped = lambda p, x, _f=inner: _f(
@@ -143,10 +161,12 @@ def make_epoch_fn(
     n_points: int,
     mesh=None,
     matmul_precision: Optional[str] = None,
+    pallas_igr: Optional[bool] = None,
 ) -> Callable:
     """One full epoch as a single jitted call: shuffle + scan over batches."""
     n_batches = max(1, n_points // batch_size)
-    step = make_train_step(model, loss_fn, optimizer, mesh, matmul_precision)
+    step = make_train_step(model, loss_fn, optimizer, mesh, matmul_precision,
+                           pallas_igr)
 
     @jax.jit
     def epoch_fn(trainable, opt_state, X, Y, rng, epoch):
@@ -182,6 +202,7 @@ def make_multi_epoch_fn(
     epochs_per_call: int,
     mesh=None,
     matmul_precision: Optional[str] = None,
+    pallas_igr: Optional[bool] = None,
 ) -> Callable:
     """Run `epochs_per_call` full epochs (+ per-epoch validation) in ONE
     jitted call, returning per-epoch (train_losses, val_losses) vectors.
@@ -190,7 +211,8 @@ def make_multi_epoch_fn(
     the axon relay: ~1s per sync); epochs_per_call=1 keeps per-epoch
     checkpoint/early-stop granularity exactly."""
     n_batches = max(1, n_points // batch_size)
-    step = make_train_step(model, loss_fn, optimizer, mesh, matmul_precision)
+    step = make_train_step(model, loss_fn, optimizer, mesh, matmul_precision,
+                           pallas_igr)
     vb = min(batch_size, max(1, n_val))
     n_vbatches = max(1, n_val // vb) if n_val > 0 else 0
     v_used = n_vbatches * vb
