@@ -205,11 +205,17 @@ def make_multi_epoch_fn(
     pallas_igr: Optional[bool] = None,
 ) -> Callable:
     """Run `epochs_per_call` full epochs (+ per-epoch validation) in ONE
-    jitted call, returning per-epoch (train_losses, val_losses) vectors.
+    jitted call, returning per-epoch (train_losses, val_losses) vectors plus
+    the BEST-validation-epoch snapshot within the block.
 
     Amortises host<->device dispatch latency (dominant on small models over
-    the axon relay: ~1s per sync); epochs_per_call=1 keeps per-epoch
-    checkpoint/early-stop granularity exactly."""
+    the axon relay: ~1s per sync). The best-epoch (trainable, opt_state) is
+    carried through the scan (selected by val-loss improvement against the
+    incoming ``best_val``), so the best checkpoint holds the params from the
+    best epoch even when it falls mid-block — the reference keeps per-epoch
+    best-model cadence (executor/executor.py:209-214) and epochs_per_call
+    must not degrade it. ``best_idx`` is the block-relative index of that
+    epoch (-1 when nothing improved)."""
     n_batches = max(1, n_points // batch_size)
     step = make_train_step(model, loss_fn, optimizer, mesh, matmul_precision,
                            pallas_igr)
@@ -218,9 +224,11 @@ def make_multi_epoch_fn(
     v_used = n_vbatches * vb
 
     @jax.jit
-    def multi_epoch_fn(trainable, opt_state, X, Y, Xv, Yv, rng, epoch0):
-        def one_epoch(carry, e):
-            trainable, opt_state = carry
+    def multi_epoch_fn(trainable, opt_state, X, Y, Xv, Yv, rng, epoch0,
+                       best_val):
+        def one_epoch(carry, ek):
+            e, k = ek
+            trainable, opt_state, best_val, best_tr, best_st, best_idx = carry
             erng = jax.random.fold_in(rng, e)
             perm_rng, step_rng = jax.random.split(erng)
             perm = jax.random.permutation(perm_rng, n_points)[
@@ -259,13 +267,30 @@ def make_multi_epoch_fn(
                 val_loss = jnp.mean(vlosses)
             else:
                 val_loss = train_loss
-            return (trainable, opt_state), (train_loss, val_loss)
 
-        (trainable, opt_state), (tl, vl) = jax.lax.scan(
-            one_epoch, (trainable, opt_state),
-            epoch0 + jnp.arange(epochs_per_call),
+            better = val_loss < best_val
+            best_val = jnp.where(better, val_loss, best_val)
+            best_idx = jnp.where(better, k, best_idx)
+            pick = lambda new, old: jax.tree_util.tree_map(
+                lambda n, o: jnp.where(better, n, o), new, old
+            )
+            best_tr = pick(trainable, best_tr)
+            best_st = pick(opt_state, best_st)
+            return (
+                (trainable, opt_state, best_val, best_tr, best_st, best_idx),
+                (train_loss, val_loss),
+            )
+
+        init = (
+            trainable, opt_state, jnp.asarray(best_val, jnp.float32),
+            trainable, opt_state, jnp.asarray(-1, jnp.int32),
         )
-        return trainable, opt_state, tl, vl
+        epochs = epoch0 + jnp.arange(epochs_per_call)
+        ks = jnp.arange(epochs_per_call, dtype=jnp.int32)
+        (trainable, opt_state, _, best_tr, best_st, best_idx), (tl, vl) = (
+            jax.lax.scan(one_epoch, init, (epochs, ks))
+        )
+        return trainable, opt_state, tl, vl, best_tr, best_st, best_idx
 
     return multi_epoch_fn
 
@@ -493,13 +518,15 @@ class Trainer:
         epoch0 = start_epoch
         while epoch0 < c.epochs and not stop:
             block = min(epochs_per_call, c.epochs - epoch0)
-            trainable, opt_state, tl_vec, vl_vec = multi_epoch_fn(
-                trainable, opt_state, X, Y, Xv, Yv, root_rng, epoch0
+            (trainable, opt_state, tl_vec, vl_vec,
+             best_tr, best_st, best_idx) = multi_epoch_fn(
+                trainable, opt_state, X, Y, Xv, Yv, root_rng, epoch0,
+                jnp.float32(best_val),
             )
             tl_vec = np.asarray(tl_vec)[:block]
             vl_vec = np.asarray(vl_vec)[:block]
 
-            improved_in_block = False
+            last_improve_k = -1
             for k in range(block):
                 epoch = epoch0 + k
                 final_epoch = epoch
@@ -512,7 +539,7 @@ class Trainer:
                 if val_loss < best_val:
                     best_val = val_loss
                     epochs_no_improve = 0
-                    improved_in_block = True
+                    last_improve_k = k
                 else:
                     epochs_no_improve += 1
                 if epoch >= c.minepochs and epochs_no_improve >= c.patience:
@@ -528,11 +555,25 @@ class Trainer:
                 "val_losses": np.asarray(val_losses),
                 "best_val": best_val,
             }
-            # NOTE: with epochs_per_call > 1 the checkpointed params are the
-            # block-end params (per-epoch snapshots are not materialised);
-            # epochs_per_call = 1 (default) keeps exact per-epoch semantics.
-            if improved_in_block:
-                ckpt.save_checkpoint(best_path, state)
+            if last_improve_k >= 0:
+                # the scan carried the best-val epoch's snapshot; save THOSE
+                # params (mid-block bests are not lost — reference cadence
+                # executor.py:209-214)
+                if int(best_idx) == last_improve_k:
+                    ckpt.save_checkpoint(
+                        best_path,
+                        {**state,
+                         "trainable": jax.device_get(best_tr),
+                         "opt_state": jax.device_get(best_st),
+                         "epoch": epoch0 + last_improve_k},
+                    )
+                else:
+                    # device-side best landed on an epoch past the early-stop
+                    # cut; keep the previous best checkpoint
+                    print(
+                        "best-epoch snapshot beyond early-stop cut; "
+                        "previous best checkpoint kept"
+                    )
             block_end = epoch0 + block
             if (block_end % c.checkpointing) < block or block >= c.checkpointing:
                 ckpt.save_checkpoint(

@@ -44,3 +44,58 @@ def test_multi_epoch_early_stop(tmp_path):
     t = Trainer(cfg)
     res = t.train(dataset=sphere_dataset(2000))
     assert res["epochs_run"] <= 15
+
+
+class _EpochTrapLoss:
+    """Val loss is minimal at epoch 3 by construction (the |epoch-3| shift
+    has zero parameter gradient, so training dynamics are unaffected)."""
+
+    def __call__(self, params, apply_fn, x, y, epoch, rng=None, aux=None):
+        import jax.numpy as jnp
+
+        pred = apply_fn(params, x).reshape(x.shape[0])
+        return jnp.mean((pred - y[:, 0]) ** 2) + jnp.abs(
+            jnp.asarray(epoch, jnp.float32) - 3.0
+        )
+
+
+def test_best_checkpoint_mid_block(tmp_path):
+    """epochs_per_call > 1 must checkpoint the BEST epoch's params, not the
+    block-end params (VERDICT round 1 weak #4)."""
+    ds = sphere_dataset()
+
+    (tmp_path / "a").mkdir()
+    cfg = tiny_config(tmp_path / "a", epochs=10)
+    cfg.epochs_per_call = 10
+    t = Trainer(cfg)
+    t.loss = _EpochTrapLoss()
+    res = t.train(dataset=ds)
+    assert int(np.argmin(res["val_losses"])) == 3
+    best_tr, best_epoch = t.load_model(best=True)
+    assert best_epoch == 3
+
+    # per-epoch run to epoch 3 gives the ground-truth epoch-3 params
+    # (identical per-epoch rng schedule regardless of block structure)
+    (tmp_path / "b").mkdir()
+    cfg2 = tiny_config(tmp_path / "b", epochs=4)
+    t2 = Trainer(cfg2)
+    t2.loss = _EpochTrapLoss()
+    t2.train(dataset=ds)
+    ref_tr, ref_epoch = t2.load_model(best=True)
+    assert ref_epoch == 3
+
+    import jax
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(best_tr), jax.tree_util.tree_leaves(ref_tr)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+    # block-end params (epoch 9) must differ from the checkpointed best
+    end_leaves = jax.tree_util.tree_leaves(res["trainable"])
+    best_leaves = jax.tree_util.tree_leaves(best_tr)
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(end_leaves, best_leaves)
+    )
