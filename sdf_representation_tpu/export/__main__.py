@@ -1,12 +1,12 @@
 """Export CLI: trained checkpoint -> native formats.
 
     python -m sdf_representation_tpu.export <config.ini> <out_dir>
-        [--quantize] [--no-onnx] [--fixtures N]
+        [--quantize] [--no-onnx] [--torchscript] [--fixtures N]
 
 Loads the best checkpoint of the run described by config.ini (same directory
-convention as training) and writes model.sdfw (+ model.onnx, parity
-fixtures) for the C++ consumers — the role of running
-utils/inference_conversion.py in the reference.
+convention as training) and writes model.sdfw (+ model.onnx, optional
+implicit_model.pt, parity fixtures) for the native consumers — the role of
+running utils/inference_conversion.py in the reference.
 """
 
 import argparse
@@ -18,6 +18,8 @@ def main():
     p.add_argument("out_dir", help="output directory")
     p.add_argument("--quantize", action="store_true", help="also write int8 .sdfw (v2)")
     p.add_argument("--no-onnx", action="store_true")
+    p.add_argument("--torchscript", action="store_true",
+                   help="also write implicit_model.pt (LibTorch consumers)")
     p.add_argument("--fixtures", type=int, default=64,
                    help="parity fixture point count (0 = skip)")
     args = p.parse_args()
@@ -43,6 +45,14 @@ def main():
             os.path.join(args.out_dir, "model_int8.sdfw"),
             trainer.model, trainable["params"],
         )
+    if args.torchscript:
+        from .torchscript_export import save_as_torchscript
+
+        pt, _, _ = save_as_torchscript(
+            args.out_dir, trainer.model, trainable["params"],
+            n_fixture=max(args.fixtures, 1),
+        )
+        paths["torchscript"] = pt
     if args.fixtures > 0:
         paths.update(
             write_parity_fixtures(

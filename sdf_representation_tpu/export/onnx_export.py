@@ -108,9 +108,12 @@ def save_as_onnx(path: str, model, params, opset: int = 15) -> str:
                       _attr_int("axis", 1))
             )
             scaled = f"skipscale{l}"
-            initializers.append(
-                _tensor(f"inv_sqrt2", np.asarray([inv_sqrt2], np.float32))
-            )
+            if l == min(s for s in model.skip_in if s > 0):
+                # shared constant — emit once (duplicate initializer names
+                # are invalid ONNX when a model has several skip layers)
+                initializers.append(
+                    _tensor("inv_sqrt2", np.asarray([inv_sqrt2], np.float32))
+                )
             nodes.append(
                 _node("Mul", [cat, "inv_sqrt2"], [scaled], f"skipmul{l}")
             )
