@@ -50,7 +50,9 @@ def reconstruct_mesh(
         if cubesize % 8 == 0 and cubesize >= 256:
             from ..ops.sparse_grid import sparse_grid_eval
 
-            vol = np.asarray(sparse_grid_eval(model, params, cubesize))
+            # stays on device: marching_cubes compacts the active shell
+            # on-chip and fetches O(n^2) instead of the n^3 volume
+            vol = sparse_grid_eval(model, params, cubesize)
         else:
             from ..ops.pallas_mlp import fused_grid_eval
 

@@ -16,11 +16,15 @@ within the decomposition, and vectorises cleanly:
      so normals point toward positive field values (SDF outside).
 
 API mirrors skimage: marching_cubes(volume, level, spacing, origin) ->
-(vertices, faces).
+(vertices, faces). Passing a DEVICE array (jax.Array) runs the active-cube
+detection + corner gather on the accelerator and fetches only the compacted
+shell (O(n^2) data instead of the n^3 volume — at 512^3 that is ~50 MB vs
+537 MB through the axon relay), then runs the host core on the shell.
 """
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Tuple
 
 import numpy as np
@@ -101,7 +105,7 @@ _FLIP_TABLE = _build_flip_table()
 
 
 def marching_cubes(
-    volume: np.ndarray,
+    volume,
     level: float = 0.0,
     spacing: Tuple[float, float, float] = (1.0, 1.0, 1.0),
     origin: Tuple[float, float, float] = (0.0, 0.0, 0.0),
@@ -109,8 +113,11 @@ def marching_cubes(
     """Extract the `level` isosurface of a (nx, ny, nz) scalar volume.
 
     Returns (vertices (V,3) float64 in world coords, faces (F,3) int64),
-    faces oriented with normals pointing toward values > level.
+    faces oriented with normals pointing toward values > level. Device
+    volumes (jax.Array) take the compacted-shell fast path.
     """
+    if "jax" in type(volume).__module__:  # jax.Array: no host copy
+        return _marching_cubes_device(volume, level, spacing, origin)
     vol = np.asarray(volume, dtype=np.float32)
     level = np.float32(level)
     nx, ny, nz = vol.shape
@@ -125,6 +132,29 @@ def marching_cubes(
     cmin = np.minimum.reduce(c)
     cmax = np.maximum.reduce(c)
     active = np.argwhere((cmin <= level) & (cmax > level))  # (A, 3)
+    corner_vals = np.stack(
+        [c[k][active[:, 0], active[:, 1], active[:, 2]] for k in range(8)],
+        axis=1,
+    )  # (A, 8)
+    return _march_core(active, corner_vals, vol.shape, level, spacing, origin)
+
+
+def _march_core(
+    active: np.ndarray,
+    corner_vals: np.ndarray,
+    shape: Tuple[int, int, int],
+    level: float,
+    spacing: Tuple[float, float, float],
+    origin: Tuple[float, float, float],
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host marching over the compacted active-cube shell.
+
+    active: (A, 3) cube base indices; corner_vals: (A, 8) field values at the
+    cube corners in _CORNERS order. Everything else (tets, welding,
+    orientation) is identical to the dense path — the shell is all it needs.
+    """
+    nx, ny, nz = shape
+    level = np.float32(level)
     if len(active) == 0:
         return np.zeros((0, 3)), np.zeros((0, 3), dtype=np.int64)
 
@@ -140,10 +170,14 @@ def marching_cubes(
         axis=1,
     )  # (A, 8)
 
+    # value lookup for any corner gid (edge endpoints all live on the shell)
+    all_gids = corner_ids.reshape(-1)
+    uniq_gids, first = np.unique(all_gids, return_index=True)
+    uniq_vals = corner_vals.reshape(-1)[first]
+
     # ---- 2. tets --------------------------------------------------------
     tet_ids = corner_ids[:, _TETS].reshape(-1, 4)  # (A*6, 4) global point ids
-    flat = vol.reshape(-1)
-    tet_vals = flat[tet_ids]  # (T, 4)
+    tet_vals = corner_vals[:, _TETS].reshape(-1, 4).astype(np.float32)
     inside = tet_vals < level
     case = (
         inside[:, 0] * 1 + inside[:, 1] * 2 + inside[:, 2] * 4 + inside[:, 3] * 8
@@ -178,7 +212,8 @@ def marching_cubes(
     u_lo = uniq // (nx * ny * nz)
     u_hi = uniq % (nx * ny * nz)
 
-    va, vb = flat[u_lo], flat[u_hi]
+    va = uniq_vals[np.searchsorted(uniq_gids, u_lo)]
+    vb = uniq_vals[np.searchsorted(uniq_gids, u_hi)]
     denom = vb - va
     t = np.where(np.abs(denom) > 1e-300, (level - va) / denom, 0.5)
     t = np.clip(t, 0.0, 1.0)
@@ -205,3 +240,81 @@ def marching_cubes(
 
     verts_world = verts_idx * np.asarray(spacing) + np.asarray(origin)
     return verts_world, faces.astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Device frontend: detect + compact the active shell on the accelerator
+# ---------------------------------------------------------------------------
+
+_ACTIVE_DEVICE = None
+
+
+def _get_active_device():
+    """Lazily-built jitted shell extractor (keeps this module numpy-only for
+    pure-host callers)."""
+    global _ACTIVE_DEVICE
+    if _ACTIVE_DEVICE is None:
+        import jax
+        import jax.numpy as jnp
+
+        @partial(jax.jit, static_argnames=("k_max",))
+        def _active_device(vol, level, k_max):
+            nx, ny, nz = vol.shape
+            c = [
+                vol[dx : nx - 1 + dx, dy : ny - 1 + dy, dz : nz - 1 + dz]
+                for dx, dy, dz in _CORNERS
+            ]
+            cmin, cmax = c[0], c[0]
+            for ck in c[1:]:
+                cmin = jnp.minimum(cmin, ck)
+                cmax = jnp.maximum(cmax, ck)
+            mask = ((cmin <= level) & (cmax > level)).reshape(-1)
+            count = jnp.sum(mask.astype(jnp.int32))
+            (ids,) = jnp.nonzero(mask, size=k_max, fill_value=0)
+            ids = ids.astype(jnp.int32)
+            iz = ids % (nz - 1)
+            iy = (ids // (nz - 1)) % (ny - 1)
+            ix = ids // ((nz - 1) * (ny - 1))
+            flat = vol.reshape(-1)
+            corners = jnp.stack(
+                [
+                    flat[((ix + dx) * ny + iy + dy) * nz + iz + dz]
+                    for dx, dy, dz in _CORNERS
+                ],
+                axis=1,
+            )
+            return ids, corners, count
+
+        _ACTIVE_DEVICE = _active_device
+    return _ACTIVE_DEVICE
+
+
+def _marching_cubes_device(vol, level, spacing, origin):
+    """Active cubes found + corner values gathered ON DEVICE; only the
+    compacted O(n^2) shell crosses the (slow) device->host link. The static
+    shell budget starts at a surface heuristic and grows pow2 on overflow
+    (same recompile-bounding trick as ops/sparse_grid)."""
+    nx, ny, nz = vol.shape
+    if min(nx, ny, nz) < 2:
+        return np.zeros((0, 3)), np.zeros((0, 3), dtype=np.int64)
+    n_cubes = (nx - 1) * (ny - 1) * (nz - 1)
+    k_max = min(n_cubes, 1 << int(12 * max(nx, ny, nz) ** 2).bit_length())
+    fn = _get_active_device()
+    while True:
+        ids, corners, count = fn(vol, np.float32(level), k_max)
+        count = int(count)
+        if count <= k_max:
+            break
+        k_max = min(n_cubes, 1 << (count - 1).bit_length())
+    ids = np.asarray(ids[:count], dtype=np.int64)
+    corner_vals = np.asarray(corners[:count], dtype=np.float32)
+    active = np.stack(
+        [
+            ids // ((nz - 1) * (ny - 1)),
+            (ids // (nz - 1)) % (ny - 1),
+            ids % (nz - 1),
+        ],
+        axis=1,
+    )
+    return _march_core(active, corner_vals, (nx, ny, nz), level, spacing,
+                       origin)

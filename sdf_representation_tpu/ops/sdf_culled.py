@@ -1,0 +1,448 @@
+"""Superlinear exact signed distance: chunk culling + fast winding numbers.
+
+The all-pairs pass in ops/sdf_exact.py is O(N*F) — great at 100k faces,
+unusable at the reference's "DAVID with 1 billion triangles" scale
+(reference datagenerator/data_generator.py:674-676, which leans on libigl's
+AABB tree at :880-906). This module keeps the labeling matmul-shaped for the
+MXU but makes it superlinear:
+
+  * **Spatial sort**: faces are Morton-ordered by centroid so each
+    ``tri_chunk``-triangle chunk is spatially compact; query points are
+    Morton-ordered into ``point_chunk`` blocks the same way (grid queries
+    arrive coherent already and sort into perfect tiles).
+  * **Distance culling** (exact, per point): a cheap O(N*C) device prepass
+    (two matmuls per chunk group) computes every point's distance to every
+    chunk's bounding sphere:  lb_pc = d_pc - r_c  and the upper bound
+    u_p = min_c (d_pc + r_c).  Chunk c survives for a point block iff ANY
+    of its points has lb_pc <= u_p (+f32 slack) — the winning triangle can
+    never be culled, so distances (and the winner refinement that follows)
+    stay EXACT. Per-point bounds are what make this work: block-level
+    bounding spheres over thousands of points are far too loose to cull.
+  * **Fast winding number** (Jacobson et al. 2018 dipole far-field): chunks
+    with d_pc > beta*r_t for every point of a block contribute their
+    first-order moment
+        omega_t(P) ~= m_t . (cbar_t - P) / |cbar_t - P|^3,
+        m_t = sum of triangle area vectors,  cbar_t = area-weighted centroid,
+    which is TWO matmuls per chunk group (P @ cbar^T, P @ m^T). Beta-near
+    chunks use the exact van Oosterom–Strackee sum from sdf_exact. The
+    partition is exact — each chunk is counted once per block.
+
+**Dispatch shape**: the (block, chunk) pairs surviving the cull are
+flattened into segmented WORK STREAMS — one lax.scan for distance, one for
+winding. Each step processes a (point_chunk x tri_chunk) tile; steps of a
+block are contiguous, the running reduction re-initialises on segment
+change and is written to the block's output row every step (last write of
+the segment wins). Zero padding waste (work is exactly sum(kd) + sum(kw)
+tile passes, unlike a fixed-K gather), ONE compile variant, and one device
+dispatch per stream — which matters through the axon relay (per-dispatch
+~0.3-1 s, remote compiles are minutes).
+
+Cost: O(sum kd * tri_chunk) near-field + O(N * C) culling/dipole, vs
+O(N * F) all-pairs. Culling quality is set by point-block coherence
+(Morton) and chunk compactness (Morton); both improve as meshes grow.
+Deep-interior points of near-spherical meshes are near-equidistant from
+every chunk — nothing CAN be culled there without giving up exactness (an
+AABB tree degrades to O(F) per point on the same input).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.mesh_io import Mesh
+from .sdf_exact import _eberly_st, _mm, _refine_device, _triangle_tables
+
+__all__ = ["signed_distance_culled"]
+
+_DEBUG = os.environ.get("SDF_CULLED_DEBUG", "") not in ("", "0")
+
+_DIP_GROUP = 1024  # chunks per dipole/cull scan step
+_CULL_SLACK = 1e-3  # absorbs f32 rounding in the sphere-bound comparisons
+
+
+def _dbg(t0, label):
+    if _DEBUG:
+        print(f"[sdf_culled] {label}: {time.time() - t0:.2f}s", flush=True)
+    return time.time()
+
+
+# ---------------------------------------------------------------------------
+# Host-side spatial preprocessing
+# ---------------------------------------------------------------------------
+
+def _morton3(q: np.ndarray) -> np.ndarray:
+    """Interleave 10-bit coords (N, 3) -> 30-bit Morton codes (N,)."""
+    def spread(x):
+        x = x.astype(np.int64)
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    return spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+
+
+def _morton_order(points: np.ndarray) -> np.ndarray:
+    """Argsort of points along a Morton curve over their own AABB."""
+    lo = points.min(axis=0)
+    span = np.maximum(points.max(axis=0) - lo, 1e-12)
+    q = np.clip((points - lo) / span * 1023.0, 0, 1023).astype(np.int64)
+    return np.argsort(_morton3(q), kind="stable")
+
+
+def _chunk_geometry(vertices: np.ndarray, faces: np.ndarray, tri_chunk: int):
+    """Per-chunk bounding spheres + dipole moments (valid triangles only).
+
+    Returns (centers (C,3), radii (C,), m (C,3) area-vector sums,
+    cbar (C,3) area-weighted centroids) as float64.
+    """
+    tri = vertices[faces].astype(np.float64)  # (F, 3, 3)
+    F = len(tri)
+    C = max(1, -(-F // tri_chunk))
+    centers = np.zeros((C, 3))
+    radii = np.zeros(C)
+    m = np.zeros((C, 3))
+    cbar = np.zeros((C, 3))
+    for c in range(C):
+        t = tri[c * tri_chunk : (c + 1) * tri_chunk]
+        pts = t.reshape(-1, 3)
+        ctr = 0.5 * (pts.min(axis=0) + pts.max(axis=0))
+        centers[c] = ctr
+        radii[c] = np.sqrt(((pts - ctr) ** 2).sum(axis=1).max())
+        area_vec = 0.5 * np.cross(t[:, 1] - t[:, 0], t[:, 2] - t[:, 0])
+        m[c] = area_vec.sum(axis=0)
+        w = np.linalg.norm(area_vec, axis=1)
+        wsum = max(w.sum(), 1e-300)
+        cbar[c] = (t.mean(axis=1) * w[:, None]).sum(axis=0) / wsum
+    return centers, radii, m, cbar
+
+
+# ---------------------------------------------------------------------------
+# Device culling prepass
+# ---------------------------------------------------------------------------
+
+def _cull_block_device(P, sph, beta):
+    """Per-point sphere bounds for one point block, OR-reduced to the block.
+
+    P: (M, 3) f32; sph: dict of (G, Gc, ...) grouped chunk spheres
+    (center, center^2, radius). Returns (keep_dist (Cp,), keep_wind (Cp,))
+    bools. Two scans over chunk groups: min-reduce for u_p, then the OR.
+    """
+    P2 = jnp.sum(P * P, axis=1, keepdims=True)
+
+    def d_pc(group):
+        Pc = _mm(P, group["c"].T)  # (M, Gc)
+        return jnp.sqrt(jnp.maximum(group["c2"] - 2.0 * Pc + P2, 0.0))
+
+    def ub_body(u_p, group):
+        d = d_pc(group)
+        lb_plus = jnp.min(d + group["r"] + 1e30 * (1.0 - group["valid"]),
+                          axis=1)
+        return jnp.minimum(u_p, lb_plus), None
+
+    M = P.shape[0]
+    u_p, _ = jax.lax.scan(ub_body, jnp.full((M,), jnp.inf, jnp.float32), sph)
+
+    def keep_body(_, group):
+        d = d_pc(group)
+        kd = jnp.any(d - group["r"] <= u_p[:, None] + _CULL_SLACK, axis=0)
+        kw = jnp.any(d <= beta * group["r"] + _CULL_SLACK, axis=0)
+        return None, (kd, kw)
+
+    _, (kd, kw) = jax.lax.scan(keep_body, None, sph)
+    return kd.reshape(-1), kw.reshape(-1)
+
+
+@jax.jit
+def _cull_all_blocks(P_blocks, sph, beta):
+    """ONE dispatch for the whole culling prepass."""
+    return jax.lax.map(
+        lambda Pb: _cull_block_device(Pb, sph, beta), P_blocks
+    )
+
+
+def _cull(P_blocks, chunk_centers, chunk_radii, beta, group=_DIP_GROUP):
+    """Candidate chunk sets per point block.
+
+    Returns (kd (B, C) bool distance candidates, kw (B, C) bool beta-near
+    winding chunks). Conservative: the winning chunk is always in kd; every
+    chunk NOT in kw satisfies the beta dipole criterion for every point.
+    """
+    C = len(chunk_centers)
+    Cp = max(group, -(-C // group) * group)
+    sph_np = {
+        "c": np.zeros((Cp, 3), np.float32),
+        "c2": np.zeros((Cp,), np.float32),
+        "r": np.zeros((Cp,), np.float32),
+        "valid": np.zeros((Cp,), np.float32),
+    }
+    sph_np["c"][:C] = chunk_centers
+    sph_np["c2"][:C] = np.einsum("ij,ij->i", chunk_centers, chunk_centers)
+    sph_np["r"][:C] = chunk_radii
+    sph_np["valid"][:C] = 1.0
+    g = Cp // group
+    sph = {k: jnp.asarray(v.reshape(g, group, *v.shape[1:]))
+           for k, v in sph_np.items()}
+
+    kd, kw = _cull_all_blocks(jnp.asarray(P_blocks), sph,
+                              jnp.float32(beta))
+    return np.asarray(kd)[:, :C], np.asarray(kw)[:, :C]
+
+
+# ---------------------------------------------------------------------------
+# Segmented work streams
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("tri_chunk",))
+def _dist_stream(P_blocks, step_block, step_chunk, tables, tri_chunk: int):
+    """Segmented min-distance stream. P_blocks: (B, M, 3); step_block /
+    step_chunk: (S,) int32, block-major. Returns (out_d2, out_best) of
+    shape (B+1, M) — row B is the padding sink."""
+    B, M, _ = P_blocks.shape
+    out_d2 = jnp.full((B + 1, M), jnp.inf, jnp.float32)
+    out_best = jnp.zeros((B + 1, M), jnp.int32)
+
+    def body(carry, xs):
+        out_d2, out_best, run_d2, run_best, prev_b = carry
+        b, c = xs
+        newseg = b != prev_b
+        run_d2 = jnp.where(newseg, jnp.inf, run_d2)
+        run_best = jnp.where(newseg, 0, run_best)
+        P = P_blocks[jnp.minimum(b, B - 1)]
+        chunk = jax.tree_util.tree_map(lambda a: a[c], tables)
+        Pv0 = _mm(P, chunk["v0"].T)
+        Pv1 = _mm(P, chunk["v1"].T)
+        Pv2 = _mm(P, chunk["v2"].T)
+        d = chunk["e0v0"] - (Pv1 - Pv0)
+        e = chunk["e1v0"] - (Pv2 - Pv0)
+        s, t = _eberly_st(chunk["a"], chunk["b"], chunk["c"], d, e)
+        d2 = jnp.zeros_like(Pv0)
+        for k in range(3):
+            ck = chunk["v0"][:, k] + s * chunk["E0"][:, k] + t * chunk["E1"][:, k]
+            dk = P[:, k : k + 1] - ck
+            d2 = d2 + dk * dk
+        d2 = jnp.where(chunk["valid"] > 0, d2, jnp.inf)
+        local_min = jnp.min(d2, axis=1)
+        local_arg = jnp.argmin(d2, axis=1).astype(jnp.int32) + c * tri_chunk
+        better = local_min < run_d2
+        run_d2 = jnp.where(better, local_min, run_d2)
+        run_best = jnp.where(better, local_arg, run_best)
+        out_d2 = jax.lax.dynamic_update_slice(out_d2, run_d2[None], (b, 0))
+        out_best = jax.lax.dynamic_update_slice(out_best, run_best[None],
+                                                (b, 0))
+        return (out_d2, out_best, run_d2, run_best, b), None
+
+    init = (out_d2, out_best, jnp.full((M,), jnp.inf, jnp.float32),
+            jnp.zeros((M,), jnp.int32), jnp.int32(-1))
+    (out_d2, out_best, *_), _ = jax.lax.scan(
+        body, init, (step_block, step_chunk)
+    )
+    return out_d2, out_best
+
+
+@jax.jit
+def _wind_stream(P_blocks, step_block, step_chunk, tables):
+    """Segmented exact-winding stream (van Oosterom–Strackee per chunk).
+    Returns out_omega (B+1, M); row B is the padding sink."""
+    B, M, _ = P_blocks.shape
+    out_w = jnp.zeros((B + 1, M), jnp.float32)
+    keys = ("v0", "v1", "v2", "K", "n00", "n11", "n22", "n01", "n12", "n20",
+            "d0", "valid")
+    wtab = {k: tables[k] for k in keys}
+
+    def body(carry, xs):
+        out_w, run_w, prev_b = carry
+        b, c = xs
+        run_w = jnp.where(b != prev_b, 0.0, run_w)
+        P = P_blocks[jnp.minimum(b, B - 1)]
+        P2 = jnp.sum(P * P, axis=1, keepdims=True)
+        chunk = jax.tree_util.tree_map(lambda a: a[c], wtab)
+        Pv0 = _mm(P, chunk["v0"].T)
+        Pv1 = _mm(P, chunk["v1"].T)
+        Pv2 = _mm(P, chunk["v2"].T)
+        PK = _mm(P, chunk["K"].T)
+        la = jnp.sqrt(jnp.maximum(chunk["n00"] - 2.0 * Pv0 + P2, 1e-30))
+        lb = jnp.sqrt(jnp.maximum(chunk["n11"] - 2.0 * Pv1 + P2, 1e-30))
+        lc = jnp.sqrt(jnp.maximum(chunk["n22"] - 2.0 * Pv2 + P2, 1e-30))
+        ab = chunk["n01"] - Pv0 - Pv1 + P2
+        bc = chunk["n12"] - Pv1 - Pv2 + P2
+        ca = chunk["n20"] - Pv2 - Pv0 + P2
+        numer = chunk["d0"] - PK
+        denom = la * lb * lc + ab * lc + bc * la + ca * lb
+        omega = 2.0 * jnp.arctan2(numer, denom) * chunk["valid"]
+        run_w = run_w + jnp.sum(omega, axis=1)
+        out_w = jax.lax.dynamic_update_slice(out_w, run_w[None], (b, 0))
+        return (out_w, run_w, b), None
+
+    init = (out_w, jnp.zeros((M,), jnp.float32), jnp.int32(-1))
+    (out_w, *_), _ = jax.lax.scan(body, init, (step_block, step_chunk))
+    return out_w
+
+
+@jax.jit
+def _dipole_all_blocks(P_blocks, far_mask, dip):
+    """Dipole far-field winding for every block (lax.map; two matmuls per
+    chunk group). far_mask: (B, Cp) 1.0 where the chunk is dipole-handled."""
+
+    def one(xs):
+        P, far_row = xs
+        P2 = jnp.sum(P * P, axis=1, keepdims=True)
+
+        def dip_body(acc, ys):
+            cbar, mvec, cbar2, mdotc, fmask = ys
+            Pc = _mm(P, cbar.T)
+            Pm = _mm(P, mvec.T)
+            r2 = jnp.maximum(cbar2 - 2.0 * Pc + P2, 1e-20)
+            inv_r3 = jax.lax.rsqrt(r2) / r2
+            contrib = (mdotc - Pm) * inv_r3 * fmask
+            return acc + jnp.sum(contrib, axis=1), None
+
+        n_groups = dip["cbar"].shape[0]
+        far_groups = far_row.reshape(n_groups, -1)
+        acc, _ = jax.lax.scan(
+            dip_body, jnp.zeros((P.shape[0],), jnp.float32),
+            (dip["cbar"], dip["m"], dip["cbar2"], dip["mdotc"], far_groups),
+        )
+        return acc
+
+    return jax.lax.map(one, (P_blocks, far_mask))
+
+
+def _stream_steps(keep: np.ndarray, sink: int):
+    """Flatten a (B, C) keep matrix into block-major (step_block,
+    step_chunk) int32 arrays, padded to a power of two with sink steps."""
+    blocks, chunks = np.nonzero(keep)
+    S = len(blocks)
+    S_pad = 1 << max(0, (max(S, 1) - 1).bit_length())
+    sb = np.full(S_pad, sink, np.int32)
+    sc = np.zeros(S_pad, np.int32)
+    sb[:S] = blocks
+    sc[:S] = chunks
+    return jnp.asarray(sb), jnp.asarray(sc), S
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+def signed_distance_culled(
+    points: np.ndarray,
+    mesh_or_vertices,
+    faces: Optional[np.ndarray] = None,
+    *,
+    return_normals: bool = True,
+    point_chunk: int = 2048,
+    tri_chunk: int = 1024,
+    beta: float = 2.0,
+    on_surface_eps: float = 1e-6,
+    return_device: bool = False,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact-distance, fast-winding signed distance for large meshes.
+
+    Same contract as ops.sdf_exact.signed_distance (the igl.signed_distance
+    role, reference datagenerator/data_generator.py:880-906): distances and
+    the winner-triangle refinement are EXACT (conservative sphere culling);
+    only the sign far field uses the dipole approximation, controlled by
+    ``beta`` (near-exact threshold; 2.0 is the standard fast-winding-number
+    setting and keeps winding error orders below the 2*pi sign margin).
+    """
+    if isinstance(mesh_or_vertices, Mesh):
+        vertices, faces = mesh_or_vertices.vertices, mesh_or_vertices.faces
+    else:
+        vertices = mesh_or_vertices
+        assert faces is not None
+    points = np.ascontiguousarray(points, dtype=np.float32)
+    N = len(points)
+    if N == 0:
+        return np.zeros(0), np.zeros((0, 3))
+
+    t0 = time.time()
+    # Morton-sort faces (chunk compactness) and points (block coherence)
+    vertices = np.asarray(vertices, dtype=np.float64)
+    faces = np.asarray(faces, dtype=np.int64)
+    tri_cent = vertices[faces].mean(axis=1)
+    faces_sorted = faces[_morton_order(tri_cent)]
+    order = _morton_order(points)
+
+    tables_np, F = _triangle_tables(vertices, faces_sorted, tri_chunk)
+    chunk_c, chunk_r, m, cbar = _chunk_geometry(vertices, faces_sorted,
+                                                tri_chunk)
+    C = len(chunk_c)
+    t0 = _dbg(t0, f"host prep (F={F}, C={C})")
+
+    M = point_chunk
+    n_blocks = -(-N // M)
+    n_blocks = 1 << max(0, (n_blocks - 1).bit_length())
+    P_pad = np.empty((n_blocks * M, 3), dtype=np.float32)
+    P_pad[:N] = points[order]
+    P_pad[N:] = points[order[-1]]  # tight padding: repeat the last point
+    P_blocks_np = P_pad.reshape(n_blocks, M, 3)
+    P_blocks = jnp.asarray(P_blocks_np)
+
+    kd, kw = _cull(P_blocks, chunk_c, chunk_r, beta)
+    t0 = _dbg(t0, f"cull (B={n_blocks}, sum_kd={kd.sum()}, "
+                  f"sum_kw={kw.sum()}, C={C})")
+
+    # dipole tables, group-padded (padding has zero moment -> zero term)
+    Cp = max(_DIP_GROUP, -(-C // _DIP_GROUP) * _DIP_GROUP)
+    dip_np = {
+        "cbar": np.zeros((Cp, 3), np.float32),
+        "m": np.zeros((Cp, 3), np.float32),
+        "cbar2": np.zeros((Cp,), np.float32),
+        "mdotc": np.zeros((Cp,), np.float32),
+    }
+    dip_np["cbar"][:C] = cbar
+    dip_np["m"][:C] = m
+    dip_np["cbar2"][:C] = np.einsum("ij,ij->i", cbar, cbar)
+    dip_np["mdotc"][:C] = np.einsum("ij,ij->i", m, cbar)
+    n_groups = Cp // _DIP_GROUP
+    dip = {
+        k: jnp.asarray(v.reshape(n_groups, _DIP_GROUP, *v.shape[1:]))
+        for k, v in dip_np.items()
+    }
+    # winding partition: exact over the beta-near chunks, dipole for ~kw
+    far_pad = np.zeros((n_blocks, Cp), np.float32)
+    far_pad[:, :C] = (~kw).astype(np.float32)
+
+    tables = {k: jnp.asarray(v) for k, v in tables_np.items()}
+
+    db, dc, Sd = _stream_steps(kd, n_blocks)
+    wb, wc, Sw = _stream_steps(kw, n_blocks)
+    _, out_best = _dist_stream(P_blocks, db, dc, tables, tri_chunk)
+    out_w = _wind_stream(P_blocks, wb, wc, tables)
+    omega_far = _dipole_all_blocks(P_blocks, jnp.asarray(far_pad), dip)
+    best_idx = jnp.clip(out_best[:n_blocks].reshape(-1)[:N], 0, F - 1)
+    omega = (out_w[:n_blocks] + omega_far).reshape(-1)[:N]
+    # force the streams before timing attribution (fetch happens in refine)
+    best_idx.block_until_ready()
+    t0 = _dbg(t0, f"streams (Sd={Sd}, Sw={Sw})")
+
+    tri_flat = jnp.asarray(
+        vertices[faces_sorted].astype(np.float32).reshape(-1)
+    )
+    flat = jnp.asarray(P_pad)
+    P_cols = (flat[:N, 0], flat[:N, 1], flat[:N, 2])
+    sdf_s, grads_s = _refine_device(P_cols, tri_flat, best_idx, omega,
+                                    on_surface_eps)
+
+    # unsort back to caller order
+    inv = jnp.asarray(np.argsort(order))
+    sdf = jnp.take(sdf_s, inv)
+    grads = tuple(jnp.take(g, inv) for g in grads_s)
+    t0 = _dbg(t0, "refine+unsort")
+
+    if return_device:
+        return sdf, (jnp.stack(grads, axis=-1) if return_normals else None)
+    if not return_normals:
+        return np.asarray(sdf, dtype=np.float64), None
+    grad = np.stack([np.asarray(g) for g in grads], axis=-1).astype(np.float64)
+    return np.asarray(sdf, dtype=np.float64), grad

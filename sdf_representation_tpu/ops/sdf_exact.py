@@ -326,6 +326,7 @@ def signed_distance(
     tri_chunk: int = 1024,
     on_surface_eps: float = 1e-6,
     return_device: bool = False,
+    method: str = "auto",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Signed distance (negative inside) and SDF-gradient normals.
 
@@ -333,6 +334,11 @@ def signed_distance(
     (data_generator.py:880-906). Accepts a Mesh or (vertices, faces).
     Handles arbitrary N by tiling; ALL math (tile sweep, winning-triangle
     refinement, sign, gradients) executes on the default JAX backend.
+
+    method: "dense" = all-pairs O(N*F); "culled" = chunk-culled +
+    fast-winding (ops/sdf_culled — superlinear, exact distances, dipole
+    far-field sign); "auto" picks culled for big workloads (the igl AABB
+    regime, data_generator.py:674-676 "DAVID with 1 billion triangles").
 
     return_device=True returns jnp arrays without fetching (for device-side
     consumers like compute_grid_metrics — D2H through the relay runs at a
@@ -343,6 +349,21 @@ def signed_distance(
     else:
         vertices = mesh_or_vertices
         assert faces is not None
+    if method == "auto":
+        n_pts, n_faces = len(points), len(faces)
+        method = (
+            "culled"
+            if n_faces >= 32 * tri_chunk and n_pts * n_faces >= 1e10
+            else "dense"
+        )
+    if method == "culled":
+        from .sdf_culled import signed_distance_culled
+
+        return signed_distance_culled(
+            points, vertices, faces, return_normals=return_normals,
+            tri_chunk=tri_chunk, on_surface_eps=on_surface_eps,
+            return_device=return_device,
+        )
     points = np.ascontiguousarray(points, dtype=np.float32)
     N = len(points)
     if N == 0:
