@@ -128,38 +128,64 @@ def confusion_matrix_png(
 
 
 def compute_grid_metrics(pred_sdf: np.ndarray, true_sdf: np.ndarray,
-                         thresholds=(0.01, 0.00025)):
-    """All post-process scalar metrics + mismatch masks in ONE device call.
+                         thresholds=(0.01, 0.00025),
+                         max_mismatch: int = 1_000_000):
+    """All post-process scalar metrics + mismatch samples in ONE device call.
 
     At 256^3 scale the host (one slow core on the relay VM) needs seconds per
-    elementwise pass; the TPU does the whole reduction set in milliseconds.
-    Returns dict with nmse_{t}, sign_accuracy, confusion (2,2), and
-    mismatch_masks list of boolean arrays (host numpy).
+    elementwise pass AND the relay D2H link runs at a few MB/s, so neither the
+    full grids nor full boolean masks may ever be fetched. Mismatching points
+    are subsampled ON DEVICE to ``max_mismatch`` flat indices (unbiased
+    Bernoulli decimation when the true count exceeds the cap) and only those
+    indices cross the link.
+
+    Returns dict with nmse_{t}, sign_accuracy, confusion (2,2),
+    mismatch_counts (true counts per threshold), and mismatch_indices
+    (host int arrays of flat grid indices, each len <= max_mismatch).
     """
     import jax
     import jax.numpy as jnp
-
-    @jax.jit
-    def _metrics(p, t):
-        err = p - t
-        e2 = err * err
-        denom = jnp.dot(t, t)
-        masks = [jnp.abs(err) > thr for thr in thresholds]
-        nmses = [jnp.sum(jnp.where(m, e2, 0.0)) / jnp.maximum(denom, 1e-30)
-                 for m in masks]
-        ti = t < 0
-        pi = p < 0
-        tp = jnp.count_nonzero(ti & pi)
-        t1 = jnp.count_nonzero(ti)
-        p1 = jnp.count_nonzero(pi)
-        return nmses, masks, (tp, t1, p1)
+    from functools import partial
 
     # device arrays pass straight through — never np.asarray them first
     # (that would fetch the whole grid through the slow relay)
     p32 = jnp.asarray(pred_sdf, jnp.float32).reshape(-1)
     t32 = jnp.asarray(true_sdf, jnp.float32).reshape(-1)
-    nmses, masks, (tp, t1, p1) = _metrics(p32, t32)
     n = int(p32.size)
+    cap = int(min(max_mismatch, n))
+
+    @partial(jax.jit, static_argnames=("cap",))
+    def _metrics(p, t, key, cap):
+        err = p - t
+        e2 = err * err
+        denom = jnp.dot(t, t)
+        u = jax.random.uniform(key, p.shape)
+        nmses, counts, idxs = [], [], []
+        for thr in thresholds:
+            m = jnp.abs(err) > thr
+            nmses.append(
+                jnp.sum(jnp.where(m, e2, 0.0)) / jnp.maximum(denom, 1e-30)
+            )
+            cnt = jnp.count_nonzero(m)
+            keep = jnp.minimum(
+                1.0, jnp.float32(cap) / jnp.maximum(cnt.astype(jnp.float32), 1.0)
+            )
+            idxs.append(jnp.nonzero(m & (u < keep), size=cap, fill_value=-1)[0])
+            counts.append(cnt)
+        ti = t < 0
+        pi = p < 0
+        tp = jnp.count_nonzero(ti & pi)
+        t1 = jnp.count_nonzero(ti)
+        p1 = jnp.count_nonzero(pi)
+        return nmses, counts, idxs, (tp, t1, p1)
+
+    nmses, counts, idxs, conf = _metrics(
+        p32, t32, jax.random.PRNGKey(0), cap
+    )
+    # one bulk fetch: scalars + <=cap int32 indices per threshold
+    nmses, counts, idxs, (tp, t1, p1) = jax.device_get(
+        (nmses, counts, idxs, conf)
+    )
     tp, t1, p1 = int(tp), int(t1), int(p1)
     cm = np.array([[n - t1 - p1 + tp, p1 - tp], [t1 - tp, tp]], np.int64)
     out = {
@@ -167,5 +193,6 @@ def compute_grid_metrics(pred_sdf: np.ndarray, true_sdf: np.ndarray,
     }
     out["sign_accuracy"] = (cm[0, 0] + cm[1, 1]) / max(n, 1)
     out["confusion"] = cm
-    out["mismatch_masks"] = [np.asarray(m) for m in masks]
+    out["mismatch_counts"] = [int(c) for c in counts]
+    out["mismatch_indices"] = [np.asarray(ix[ix >= 0]) for ix in idxs]
     return out

@@ -75,10 +75,17 @@ def post_process(trainer, mesh_path: Optional[str] = None) -> Dict[str, float]:
             trainer.model.apply, params, coords, chunk=min(c.ppbatchsize, 262144)
         )
     # exact distances stay on device too: D2H through the relay runs at a
-    # few MB/s, and the metrics reduce on-device anyway
+    # few MB/s, and the metrics reduce on-device anyway.
+    # force() between the heavy stages: on the axon relay, dispatching the
+    # next big program while the previous is in flight serialises ~10x slower
+    # than running them back to back (196 s vs 16 s measured at 256^3)
+    from ..utils.profiling import force
+
+    force(pred)
     true, _ = signed_distance(
         coords, mesh, return_normals=False, return_device=True
     )
+    force(true)
 
     from .metrics import compute_grid_metrics
 
@@ -89,25 +96,28 @@ def post_process(trainer, mesh_path: Optional[str] = None) -> Dict[str, float]:
     out["sign_accuracy"] = gm["sign_accuracy"]
 
     save = trainer.postprocess_save_path
-    max_mismatch_rows = 2_000_000  # the reference wrote ALL rows — at 256^3
-    # that can be a multi-GB CSV taking minutes; cap and record the count
-    # sign labels are threshold-independent: compute the classification
+    # the reference wrote ALL mismatch rows — at 256^3 that can be a multi-GB
+    # CSV taking minutes; compute_grid_metrics subsampled to <=1M flat indices
+    # ON DEVICE (fetching full masks through the relay took ~10 s each) and
+    # the x/y/z columns are rebuilt here from index arithmetic.
+    # Sign labels are threshold-independent: compute the classification
     # report / confusion matrix ONCE (the reference recomputed them per
     # threshold on the full grid, post_process.py:125-159) and write both
     # artifact names for drop-in compatibility
+    from ..ops.grid_eval import grid_axis
+
+    axis32 = grid_axis(n).astype(np.float32)
     report = _report_from_confusion(gm["confusion"])
-    for tag, (thr, mism) in (
-        ("1", (THRESHOLD_1, gm["mismatch_masks"][0])),
-        ("2", (THRESHOLD_2, gm["mismatch_masks"][1])),
+    for tag, cnt, idx in (
+        ("1", gm["mismatch_counts"][0], gm["mismatch_indices"][0]),
+        ("2", gm["mismatch_counts"][1], gm["mismatch_indices"][1]),
     ):
-        rows = coords[mism]
-        out[f"n_mismatch_{tag}"] = int(len(rows))
-        if len(rows) > max_mismatch_rows:
-            rows = rows[
-                np.random.default_rng(0).choice(
-                    len(rows), max_mismatch_rows, replace=False
-                )
-            ]
+        out[f"n_mismatch_{tag}"] = int(cnt)
+        # flat = x*n^2 + y*n + z (reference executor.py:353-356 ordering)
+        rows = np.stack(
+            [axis32[idx // (n * n)], axis32[(idx // n) % n], axis32[idx % n]],
+            axis=-1,
+        )
         pd.DataFrame(rows, columns=["x", "y", "z"]).to_csv(
             os.path.join(save, f"mismatching_co-ordinates{tag}.csv"), index=False
         )

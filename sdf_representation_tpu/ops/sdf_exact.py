@@ -349,11 +349,16 @@ def signed_distance(
     else:
         vertices = mesh_or_vertices
         assert faces is not None
+    culled_tc = tri_chunk
     if method == "auto":
         n_pts, n_faces = len(points), len(faces)
+        # shrink the chunk so culling has >= 32 chunks of granularity
+        # (grid-scale labeling of small meshes wants fine chunks)
+        while culled_tc > 128 and n_faces < 32 * culled_tc:
+            culled_tc //= 2
         method = (
             "culled"
-            if n_faces >= 32 * tri_chunk and n_pts * n_faces >= 1e10
+            if n_faces >= 32 * culled_tc and n_pts * n_faces >= 1e10
             else "dense"
         )
     if method == "culled":
@@ -361,7 +366,7 @@ def signed_distance(
 
         return signed_distance_culled(
             points, vertices, faces, return_normals=return_normals,
-            tri_chunk=tri_chunk, on_surface_eps=on_surface_eps,
+            tri_chunk=culled_tc, on_surface_eps=on_surface_eps,
             return_device=return_device,
         )
     points = np.ascontiguousarray(points, dtype=np.float32)

@@ -445,12 +445,23 @@ class Trainer:
             return optax.adam(schedule)
         return optax.adam(c.lr)
 
-    def _init_trainable(self) -> Dict[str, Any]:
-        params = self.model.init(jax.random.PRNGKey(self.init_seed))
+    def _init_trainable(self, concrete: bool = True) -> Dict[str, Any]:
+        if concrete:
+            params = self.model.init(jax.random.PRNGKey(self.init_seed))
+        else:
+            # structure-only template (checkpoint restore): eval_shape skips
+            # the init compile + device work entirely (~10 s through the
+            # axon relay for an eval-only caller like post_process)
+            shapes = jax.eval_shape(
+                self.model.init, jax.random.PRNGKey(self.init_seed)
+            )
+            params = jax.tree_util.tree_map(
+                lambda s: np.zeros(s.shape, s.dtype), shapes
+            )
         aux = {}
         for name in getattr(self.loss, "needs_aux", ()):
             # learnable scalar, e.g. GaussBonnet Euler characteristic
-            aux[name] = jnp.asarray(2.0)
+            aux[name] = jnp.asarray(2.0) if concrete else np.zeros(())
         return {"params": params, "aux": aux}
 
     def train(self, dataset: Optional[SDFDataset] = None) -> Dict[str, Any]:
@@ -609,7 +620,7 @@ class Trainer:
     def load_model(self, best: bool = True):
         """Returns (trainable, epoch). cf. Executor.load_model
         (executor.py:258-300)."""
-        trainable = self._init_trainable()
+        trainable = self._init_trainable(concrete=False)
         # structure-only template; schedule presence must match training
         optimizer = self._make_optimizer(self.config.batchsize)
         template = {

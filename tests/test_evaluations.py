@@ -166,3 +166,37 @@ def test_classification_report_matches_sklearn():
             assert abs(ours.loc[row, col] - sk.loc[row, col]) < 1e-9, (row, col)
     cm = sign_confusion_counts(noisy, true)
     assert cm.sum() == 5000
+
+
+def test_compute_grid_metrics_subsample():
+    """Device-side mismatch subsampling: true counts, valid indices, and
+    exact index recovery when the count fits under the cap."""
+    from sdf_representation_tpu.evaluations.metrics import compute_grid_metrics
+
+    rng = np.random.default_rng(3)
+    true = rng.uniform(-1, 1, 5000).astype(np.float32)
+    pred = true.copy()
+    bad = rng.choice(5000, 800, replace=False)
+    pred[bad] += rng.uniform(0.05, 0.5, 800).astype(np.float32) * np.sign(
+        rng.normal(size=800)
+    )
+    gm = compute_grid_metrics(pred, true, thresholds=(0.01, 0.0001),
+                              max_mismatch=100)
+    err = np.abs(pred - true)
+    for k, thr in enumerate((0.01, 0.0001)):
+        assert gm["mismatch_counts"][k] == int(np.count_nonzero(err > thr))
+        idx = gm["mismatch_indices"][k]
+        assert len(idx) <= 100
+        assert len(idx) > 50  # Bernoulli decimation should land near the cap
+        assert np.all(err[idx] > thr)
+        assert len(np.unique(idx)) == len(idx)
+    assert gm["nmse_0.01"] == pytest.approx(
+        thresholded_nmse(pred, true, 0.01), rel=1e-5
+    )
+    # cap >= count: the index set is EXACTLY the mismatch set
+    gm2 = compute_grid_metrics(pred, true, thresholds=(0.01,),
+                               max_mismatch=5000)
+    np.testing.assert_array_equal(
+        np.sort(gm2["mismatch_indices"][0]), np.nonzero(err > 0.01)[0]
+    )
+    assert gm2["sign_accuracy"] == sign_accuracy(pred, true)

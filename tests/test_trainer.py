@@ -191,3 +191,39 @@ def test_lr_schedule(tmp_path):
     # with aggressive decay, late-epoch loss changes shrink dramatically
     deltas = np.abs(np.diff(res["train_losses"]))
     assert deltas[-1] < deltas[0]
+
+
+def test_post_process_e2e(tmp_path):
+    """Full post-process audit on a trained tiny net: metrics sane, every
+    reference artifact written (cf. reference post_process.py:162-207)."""
+    from sdf_representation_tpu.evaluations.post_process import post_process
+    from sdf_representation_tpu.geometry.mesh_io import save_mesh
+    from sdf_representation_tpu.geometry.primitives import make_icosphere
+
+    save_mesh(make_icosphere(2, radius=0.5), str(tmp_path / "geom.stl"))
+    cfg = tiny_config(tmp_path, epochs=40, hidden_dim=64)
+    trainer = Trainer(cfg)
+    trainer.train(dataset=sphere_dataset(8000))
+    out = post_process(trainer, mesh_path=str(tmp_path / "geom.stl"))
+    assert out["sign_accuracy"] > 0.9
+    assert np.isfinite(out["chamfer"])
+    assert out["time_taken"] > 0
+    import pandas as pd
+
+    save = trainer.postprocess_save_path
+    for fname in (
+        "mismatching_co-ordinates1.csv", "mismatching_co-ordinates2.csv",
+        "classification_report1.csv", "classification_report2.csv",
+        "confusion_matrix.png", "results.csv",
+    ):
+        assert os.path.exists(os.path.join(save, fname)), fname
+    # every emitted mismatch coordinate genuinely lies on the 32^3 grid
+    mm = pd.read_csv(os.path.join(save, "mismatching_co-ordinates1.csv"))
+    assert len(mm) == out["n_mismatch_1"] or len(mm) <= 1_000_000
+    if len(mm):
+        ax = np.linspace(-1, 1, cfg.cubesize, dtype=np.float32)
+        for col in ("x", "y", "z"):
+            assert np.isin(mm[col].to_numpy(np.float32), ax).all()
+    row = pd.read_csv(os.path.join(save, "results.csv")).iloc[-1]
+    assert row["Resolution"] == cfg.cubesize
+    assert abs(row["Accuracy"] - out["sign_accuracy"]) < 1e-9
