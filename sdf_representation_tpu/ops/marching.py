@@ -125,15 +125,19 @@ def marching_cubes(
         return np.zeros((0, 3)), np.zeros((0, 3), dtype=np.int64)
 
     # ---- 1. active cubes ------------------------------------------------
-    c = [
-        vol[dx : nx - 1 + dx, dy : ny - 1 + dy, dz : nz - 1 + dz]
-        for dx, dy, dz in _CORNERS
-    ]
-    cmin = np.minimum.reduce(c)
-    cmax = np.maximum.reduce(c)
-    active = np.argwhere((cmin <= level) & (cmax > level))  # (A, 3)
+    # a cube straddles the level set iff its 8-corner count of (val <= level)
+    # is in 1..7; the count is separable into three axis passes over uint8,
+    # ~4x cheaper than 14 float min/max passes on the single-core relay host
+    s = (vol <= level).astype(np.uint8)
+    sx = s[: nx - 1] + s[1:]
+    sxy = sx[:, : ny - 1] + sx[:, 1:]
+    cnt = sxy[:, :, : nz - 1] + sxy[:, :, 1:]
+    active = np.argwhere((cnt > 0) & (cnt < 8))  # (A, 3)
     corner_vals = np.stack(
-        [c[k][active[:, 0], active[:, 1], active[:, 2]] for k in range(8)],
+        [
+            vol[active[:, 0] + dx, active[:, 1] + dy, active[:, 2] + dz]
+            for dx, dy, dz in _CORNERS
+        ],
         axis=1,
     )  # (A, 8)
     return _march_core(active, corner_vals, vol.shape, level, spacing, origin)
