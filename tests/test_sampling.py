@@ -183,3 +183,26 @@ def test_mismatch_write(tmp_path):
     path = write_signed_distance_mismatch(pts, mesh, str(tmp_path))
     df = pd.read_csv(path)
     np.testing.assert_allclose(df["S"], box_sdf(pts), atol=1e-6)
+
+
+def test_generate_occupancy_box():
+    """Occupancy grid sign agrees with the analytic box SDF everywhere off
+    the surface (cf. reference data_generator.py:307-350)."""
+    from sdf_representation_tpu.geometry.primitives import box_sdf, make_box
+    from sdf_representation_tpu.sampling.sampler import generate_occupancy
+
+    n = 16
+    df = generate_occupancy(n, make_box((0.4, 0.3, 0.2)))
+    assert list(df.columns) == ["x", "y", "z", "occupancy"]
+    assert len(df) == n**3
+    pts = df[["x", "y", "z"]].to_numpy()
+    analytic = box_sdf(pts, (0.4, 0.3, 0.2))
+    occ = df["occupancy"].to_numpy()
+    off_surface = np.abs(analytic) > 1e-6
+    assert np.array_equal(
+        occ[off_surface] < 0, analytic[off_surface] < 0
+    )
+    # grid is the reference linspace(-1,1,n) 'ij' ordering
+    ax = np.linspace(-1, 1, n)
+    assert np.allclose(pts[:n, 2], ax)  # z fastest
+    assert np.allclose(pts[::n * n, 0], ax)  # x slowest

@@ -57,3 +57,20 @@ def test_device_counts(model_params, n_dev):
         )
     )
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_non_divisible_tiles(model_params, use_pallas):
+    """n^3 not divisible by tile_p or by n_dev*tile_p: the tile count is
+    rounded up to a device multiple and the flat output truncated, so the
+    padded tail (garbage coords past n^3) must never leak into the volume."""
+    model, params = model_params
+    n = 15  # 3375 points -> 26.4 tiles of 128 -> 27 -> padded to 32 for 8 dev
+    ref = evaluate_grid(model.apply, params, n, chunk=4096)
+    out = np.asarray(
+        sharded_grid_eval(
+            model, params, n, get_mesh(8), tile_p=128, use_pallas=use_pallas,
+            interpret=use_pallas, compute_dtype=jnp.float32,
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=1e-5)
