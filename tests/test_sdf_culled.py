@@ -84,7 +84,8 @@ def test_cull_is_conservative():
     chunk_r = rng.uniform(0.01, 0.2, 40)
     P_blocks = rng.uniform(-1, 1, (4, 64, 3)).astype(np.float32)
     beta = 2.0
-    kd, kw = _cull(P_blocks, chunk_c, chunk_r, beta)
+    UB = np.full(P_blocks.shape[:2], np.inf, np.float32)
+    kd, kw = _cull(P_blocks, UB, chunk_c, chunk_r, beta)
     for b in range(len(P_blocks)):
         kept = set(np.nonzero(kd[b])[0].tolist())
         d = np.linalg.norm(
@@ -108,3 +109,30 @@ def test_morton_order_locality():
     consec = np.linalg.norm(np.diff(sorted_pts, axis=0), axis=1).mean()
     rand = np.linalg.norm(pts[:-1] - pts[1:], axis=1).mean()
     assert consec < rand * 0.5
+
+
+def test_coarse_upper_bound_exactness():
+    """The coarse-field upper bound must tighten culling WITHOUT changing a
+    single distance (conservative by the triangle inequality)."""
+    mesh = make_icosphere(subdivisions=4, radius=0.6)
+    rng = np.random.default_rng(5)
+    pts = rng.uniform(-1, 1, (4096, 3))
+    ref, _ = signed_distance_culled(
+        pts, mesh, point_chunk=512, tri_chunk=256, coarse_bound=False
+    )
+    got, _ = signed_distance_culled(
+        pts, mesh, point_chunk=512, tri_chunk=256, coarse_bound=True
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_coarse_upper_bound_is_valid():
+    """ub >= true distance for every query point."""
+    from sdf_representation_tpu.ops.sdf_culled import _coarse_upper_bound
+
+    mesh = make_icosphere(subdivisions=3, radius=0.5)
+    rng = np.random.default_rng(6)
+    pts = rng.uniform(-1, 1, (2000, 3)).astype(np.float32)
+    ub = _coarse_upper_bound(pts, mesh.vertices, mesh.faces)
+    true, _ = signed_distance(pts, mesh)
+    assert np.all(ub >= np.abs(true) - 1e-5)
