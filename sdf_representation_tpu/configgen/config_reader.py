@@ -56,10 +56,20 @@ class Configuration:
                 self.skip_connection = (val,)
                 self.beta = self.config.getfloat("Model", "beta")
             self.geometric_init = self.config.getboolean("Model", "geometric_init")
+            # working version of the reference's dead Lipschitz option
+            # (networks.py:54,97-98,109-112; arXiv:2202.08345)
+            self.lipschitz = self.config.getboolean(
+                "Model", "lipschitz", fallback=False
+            )
+            self.lipschitz_weight = self.config.getfloat(
+                "Model", "lipschitz_weight", fallback=1e-6
+            )
         else:
             self.skip_connection = ()
             self.beta = 0.0
             self.geometric_init = False
+            self.lipschitz = False
+            self.lipschitz_weight = 0.0
 
         # [Loss]
         self.loss_name = self.config.get("Loss", "loss_function")
@@ -129,6 +139,8 @@ class Configuration:
                 skip_in=self.skip_connection,
                 beta=self.beta,
                 geometric_init=self.geometric_init,
+                lipschitz=self.lipschitz,
+                lipschitz_weight=self.lipschitz_weight,
             )
         if self.model_name == "FeedForwardNetwork":
             return FeedForwardNetwork(

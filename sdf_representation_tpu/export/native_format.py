@@ -31,6 +31,7 @@ VERSION = 1
 
 def save_sdfw(path: str, model, params) -> str:
     """Serialise an ImplicitNet (+params) to .sdfw."""
+    params = model.export_params(params) if hasattr(model, "export_params") else params
     tensors = []
     blobs = []
     for i, layer in enumerate(params["layers"]):

@@ -84,6 +84,7 @@ def _value_info(name: str, shape) -> bytes:
 
 def save_as_onnx(path: str, model, params, opset: int = 15) -> str:
     """Write model.onnx for an ImplicitNet. Dynamic batch dimension."""
+    params = model.export_params(params) if hasattr(model, "export_params") else params
     d_in = model.d_in
     beta = float(model.beta)
     n_lin = model.num_layers - 1

@@ -47,6 +47,8 @@ def dequantize_params(qparams) -> Dict:
 
 def save_sdfw_quantized(path: str, model, params) -> str:
     """Serialise with int8 weights (format version 2)."""
+    if hasattr(model, "export_params"):
+        params = model.export_params(params)
     q = quantize_params(params)
     tensors = []
     blobs = []

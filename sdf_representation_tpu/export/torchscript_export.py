@@ -67,6 +67,8 @@ def _build_torch_module(model, params):
                 i = i + 1
             return h
 
+    if hasattr(model, "export_params"):
+        params = model.export_params(params)
     shapes = [tuple(int(d) for d in l["w"].shape) for l in params["layers"]]
     net = ImplicitNetCompatibleTorch(shapes, list(model.skip_in), model.beta)
     with torch.no_grad():

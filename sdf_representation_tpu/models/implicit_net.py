@@ -55,6 +55,14 @@ class ImplicitNet:
     beta: float = 100.0
     geometric_init: bool = True
     radius_init: float = 1.0
+    # Lipschitz-bounded variant (Liu et al., "Learning Smooth Neural
+    # Functions via Lipschitz Regularization", arXiv:2202.08345): each layer
+    # carries a trainable bound c; weights are row-normalised to
+    # inf-norm <= softplus(c) on the fly and prod softplus(c_i) is the
+    # network's Lipschitz bound, exposed as a loss regularizer. The
+    # reference sketched this but left it dead (networks.py:54,97-98,109-112).
+    lipschitz: bool = False
+    lipschitz_weight: float = 1e-6
 
     @property
     def dims(self) -> Tuple[int, ...]:
@@ -103,18 +111,64 @@ class ImplicitNet:
                     wkey, (fan_in, fan_out), jnp.float32, -bound, bound
                 )
                 b = jax.random.uniform(bkey, (fan_out,), jnp.float32, -bound, bound)
-            layers.append({"w": w, "b": b})
+            if self.lipschitz:
+                # c starts at softplus^-1(max row sum of |W|) so the initial
+                # scaling is exactly 1 (arXiv:2202.08345 §4)
+                row_max = jnp.max(jnp.sum(jnp.abs(w), axis=0))
+                c = row_max + jnp.log(-jnp.expm1(-row_max))  # softplus^-1
+                layers.append({"w": w, "b": b, "c": c})
+            else:
+                layers.append({"w": w, "b": b})
         return {"layers": layers}
+
+    def effective_layers(self, params: Params):
+        """Per-layer {'w','b'} with the Lipschitz row normalisation baked in
+        (identity for non-Lipschitz nets). Every consumer of raw weights —
+        apply, the shared-matmul forward-gradient, the fused Pallas kernels,
+        exports — goes through this so the variants cannot diverge."""
+        if not self.lipschitz:
+            return params["layers"]
+        out = []
+        for lw in params["layers"]:
+            w = lw["w"]
+            # per-output-unit absolute row sum = matrix inf-norm contributors
+            # (weights are stored (in, out), so rows of the paper's (out, in)
+            # matrix are our columns)
+            rows = jnp.sum(jnp.abs(w), axis=0)
+            bound = jax.nn.softplus(lw["c"].astype(w.dtype))
+            scale = jnp.minimum(1.0, bound / jnp.maximum(rows, 1e-30))
+            out.append({"w": w * scale[None, :], "b": lw["b"]})
+        return out
+
+    def export_params(self, params: Params) -> Params:
+        """Params with any reparameterisation (the Lipschitz row scaling)
+        baked into plain {'w','b'} layers — what exporters, quantization and
+        external consumers (C++ runtime, ONNX, TorchScript) must see."""
+        if not self.lipschitz:
+            return params
+        return {
+            "layers": [
+                {"w": lw["w"], "b": lw["b"]}
+                for lw in self.effective_layers(params)
+            ]
+        }
+
+    def lipschitz_bound(self, params: Params) -> jnp.ndarray:
+        """prod_i softplus(c_i) — the trainable upper bound on the network's
+        Lipschitz constant, the quantity arXiv:2202.08345 adds to the loss."""
+        cs = jnp.stack([lw["c"].astype(jnp.float32) for lw in params["layers"]])
+        return jnp.prod(jax.nn.softplus(cs))
 
     def apply(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
         """Forward pass. x: (..., d_in) -> (...,) SDF."""
         inp = x
         h = x
         n_lin = self.num_layers - 1
+        layers = self.effective_layers(params)
         for layer in range(n_lin):
             if layer in self.skip_in:
                 h = jnp.concatenate([h, inp], axis=-1) / math.sqrt(2.0)
-            lw = params["layers"][layer]
+            lw = layers[layer]
             h = h @ lw["w"] + lw["b"]
             if layer < n_lin - 1:
                 if self.beta > 0:

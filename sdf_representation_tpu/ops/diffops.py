@@ -125,8 +125,9 @@ def implicitnet_value_and_grad(model, params, x: jnp.ndarray):
     n_lin = model.num_layers - 1
     inv_sqrt2 = 1.0 / math.sqrt(2.0)
     T0 = T
+    layers = model.effective_layers(params)
     for layer in range(n_lin):
-        lw = params["layers"][layer]
+        lw = layers[layer]
         if layer in model.skip_in:
             h = jnp.concatenate([h, inp], axis=-1) * inv_sqrt2
             T = jnp.concatenate([T, T0], axis=-1) * inv_sqrt2

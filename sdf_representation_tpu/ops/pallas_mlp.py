@@ -60,7 +60,7 @@ def prepare_fused_weights(model: ImplicitNet, params, compute_dtype=jnp.bfloat16
 
     out: List[jnp.ndarray] = []
     spec: List[Tuple[str, int]] = []
-    layers = params["layers"]
+    layers = model.effective_layers(params)
     for l in range(n_lin):
         w = jnp.asarray(layers[l]["w"], jnp.float32)
         b = jnp.asarray(layers[l]["b"], jnp.float32)

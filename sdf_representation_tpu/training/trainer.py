@@ -110,9 +110,13 @@ def make_train_step(
     kernels are single-device; the mesh path keeps the XLA derivation).
     """
     mixed = matmul_precision == "bfloat16"
+    lipschitz = getattr(model, "lipschitz", False)
     if pallas_igr is None:
+        # the Pallas training kernels consume raw weights; the Lipschitz
+        # variant's on-the-fly row normalisation keeps the XLA path
         pallas_igr = (
-            mixed and mesh is None and jax.default_backend() not in ("cpu",)
+            mixed and mesh is None and not lipschitz
+            and jax.default_backend() not in ("cpu",)
         )
 
     def step(trainable, opt_state, xb, yb, rng, epoch):
@@ -134,9 +138,15 @@ def make_train_step(
                     wrapped._implicitnet_fast = _fast_mixed
                 apply_fn = wrapped
                 tr = dict(tr)  # params stay f32 masters; cast happens inside
-            return loss_fn(
+            value = loss_fn(
                 tr["params"], apply_fn, xb, yb, epoch, rng=rng, aux=tr["aux"]
             )
+            if lipschitz and model.lipschitz_weight > 0:
+                # arXiv:2202.08345 eq. 7: alpha * prod softplus(c_i)
+                value = value + model.lipschitz_weight * model.lipschitz_bound(
+                    tr["params"]
+                )
+            return value
 
         def run():
             return jax.value_and_grad(objective)(trainable)

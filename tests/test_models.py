@@ -195,3 +195,96 @@ def test_hash_mlp_fits_sphere_fast():
     for _ in range(150):
         params, st, l = step(params, st)
     assert float(l) < 1e-4  # MLPs need thousands of steps for this
+
+
+class TestLipschitz:
+    """Working version of the reference's dead Lipschitz option
+    (networks.py:54,97-98,109-112; method of arXiv:2202.08345)."""
+
+    def _models(self):
+        from sdf_representation_tpu.models import ImplicitNet
+
+        kw = dict(d_in=3, hidden_dims=(32,) * 3, skip_in=(2,), beta=100.0)
+        return ImplicitNet(**kw), ImplicitNet(lipschitz=True, **kw)
+
+    def test_identity_at_init(self):
+        """c is initialised so the row scaling starts at exactly 1: the
+        Lipschitz net equals the plain net on the same weights."""
+        import jax
+        import jax.numpy as jnp
+
+        plain, lip = self._models()
+        params = lip.init(jax.random.PRNGKey(0))
+        pparams = {"layers": [{"w": l["w"], "b": l["b"]}
+                              for l in params["layers"]]}
+        x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3), minval=-1)
+        np.testing.assert_allclose(
+            lip.apply(params, x), plain.apply(pparams, x), rtol=1e-6, atol=1e-6
+        )
+
+    def test_bound_enforced(self):
+        """Shrinking c clamps the empirical gradient norm under the bound
+        prod softplus(c_i) (within the sqrt(2)-skip bookkeeping slack)."""
+        import jax
+        import jax.numpy as jnp
+
+        _, lip = self._models()
+        params = lip.init(jax.random.PRNGKey(0))
+        # force small per-layer bounds
+        params["layers"] = [
+            {**l, "c": jnp.asarray(0.2)} for l in params["layers"]
+        ]
+        bound = float(lip.lipschitz_bound(params))
+        g = jax.vmap(jax.grad(lambda p: lip.apply(params, p[None])[0]))(
+            jax.random.uniform(jax.random.PRNGKey(2), (256, 3), minval=-1)
+        )
+        # L2 grad norm <= sqrt(d_in) * Linf bound; use the safe inequality
+        assert float(jnp.abs(g).max()) <= bound + 1e-5
+
+    def test_trains_and_regularizes(self, tmp_path):
+        """End-to-end through the Trainer: loss decreases AND the trainable
+        Lipschitz bound shrinks under the prod-softplus regularizer."""
+        from tests.test_trainer import sphere_dataset, tiny_config
+        from sdf_representation_tpu.training import Trainer
+
+        cfg = tiny_config(tmp_path, epochs=10)
+        text = open(str(tmp_path / "c.ini")).read().replace(
+            "geometric_init = False",
+            "geometric_init = False\nlipschitz = True\nlipschitz_weight = 0.001",
+        )
+        (tmp_path / "lip.ini").write_text(text)
+        from sdf_representation_tpu.configgen import Configuration
+
+        cfg = Configuration(str(tmp_path / "lip.ini"))
+        assert cfg.lipschitz is True
+        trainer = Trainer(cfg)
+        assert trainer.model.lipschitz
+        b0 = float(trainer.model.lipschitz_bound(
+            trainer.model.init(__import__("jax").random.PRNGKey(0))
+        ))
+        res = trainer.train(dataset=sphere_dataset(2000))
+        assert res["train_losses"][-1] < res["train_losses"][0]
+        tr, _ = trainer.load_model(best=False)
+        b1 = float(trainer.model.lipschitz_bound(tr["params"]))
+        assert b1 < b0  # the regularizer actually pulls the bound down
+
+    def test_export_bakes_scaling(self, tmp_path):
+        """Exported artifacts must carry the EFFECTIVE (scaled) weights: the
+        .sdfw round-trip evaluated as a plain net equals the Lipschitz net."""
+        import jax
+        import jax.numpy as jnp
+        from sdf_representation_tpu.export.native_format import save_sdfw
+        from sdf_representation_tpu.export.quantize import load_sdfw_any
+        from sdf_representation_tpu.models import ImplicitNet
+
+        plain, lip = self._models()
+        params = lip.init(jax.random.PRNGKey(0))
+        params["layers"] = [
+            {**l, "c": jnp.asarray(1.0)} for l in params["layers"]
+        ]  # non-trivial scaling
+        path = save_sdfw(str(tmp_path / "m.sdfw"), lip, params)
+        _meta, loaded = load_sdfw_any(path)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3), minval=-1)
+        np.testing.assert_allclose(
+            plain.apply(loaded, x), lip.apply(params, x), rtol=1e-5, atol=1e-5
+        )
