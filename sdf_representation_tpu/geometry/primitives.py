@@ -114,3 +114,57 @@ def torus_sdf(points, major_radius=0.6, minor_radius=0.25):
         [np.sqrt(p[:, 0] ** 2 + p[:, 1] ** 2) - major_radius, p[:, 2]], axis=-1
     )
     return np.linalg.norm(q, axis=-1) - minor_radius
+
+
+def _cylinder_sdf(points, axis: int, c1: float, c2: float, radius: float):
+    """Infinite cylinder along `axis`; (c1, c2) = center in the two other
+    axes (in x<y<z order with `axis` removed)."""
+    p = np.asarray(points, dtype=np.float64)
+    other = [i for i in range(3) if i != axis]
+    return (
+        np.sqrt((p[..., other[0]] - c1) ** 2 + (p[..., other[1]] - c2) ** 2)
+        - radius
+    )
+
+
+def bracket_sdf(points: np.ndarray) -> np.ndarray:
+    """CSG field of a hard test geometry: flanged L-bracket with four bolt
+    holes plus a detached block (the procedural stand-in for the reference's
+    CAD showcase set, README.md:38-39 bunny/turbine/pipe — sharp edges, thin
+    plates, genus 4, two connected components, total Euler characteristic -4).
+
+    union = min, subtraction = max(a, -b); exact signs everywhere, exact
+    distances on the surface away from the (measure-zero) CSG intersection
+    curves — sufficient for zero-level-set extraction.
+    """
+    p = np.asarray(points, dtype=np.float64)
+    # base plate: thin box in the x-y plane at the bottom
+    base = box_sdf(p - [0.0, 0.0, -0.42], (0.7, 0.5, 0.08))
+    # vertical plate rising from the back edge (sharp interior corner)
+    wall = box_sdf(p - [0.0, -0.42, 0.08], (0.7, 0.08, 0.5))
+    body = np.minimum(base, wall)
+    # two bolt holes through the base plate (cylinders along z)
+    for sx in (-0.35, 0.35):
+        body = np.maximum(body, -_cylinder_sdf(p, 2, sx, 0.1, 0.12))
+    # two bolt holes through the vertical plate (cylinders along y)
+    for sx in (-0.35, 0.35):
+        body = np.maximum(body, -_cylinder_sdf(p, 1, sx, 0.25, 0.12))
+    # detached floating block (second connected component)
+    block = box_sdf(p - [0.0, 0.25, 0.3], (0.12, 0.12, 0.12))
+    return np.minimum(body, block)
+
+
+def make_bracket(resolution: int = 192) -> Mesh:
+    """Triangle mesh of `bracket_sdf`, extracted with the project's own
+    marching cubes on a resolution^3 grid over [-1, 1]^3."""
+    from ..ops.marching import marching_cubes
+
+    ax = np.linspace(-1.0, 1.0, resolution, dtype=np.float64)
+    pts = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"), axis=-1)
+    vol = bracket_sdf(pts.reshape(-1, 3)).reshape(resolution, resolution,
+                                                  resolution)
+    step = 2.0 / (resolution - 1)
+    verts, faces = marching_cubes(
+        vol.astype(np.float32), 0.0, (step, step, step), (-1.0, -1.0, -1.0)
+    )
+    return Mesh(verts, faces)

@@ -159,3 +159,33 @@ def test_empty_msh_raises(tmp_path):
     p.write_text("$MeshFormat\n2.2 0 8\n$EndMeshFormat\n")
     with pytest.raises(ValueError, match="Nodes"):
         read_msh_nodes(str(p))
+
+
+def test_bracket_geometry():
+    """The hard CSG test geometry: watertight, Euler characteristic -4
+    (genus-4 bracket chi=-6 + detached block chi=+2), sharp-edged, and its
+    mesh labeling agrees in sign with the analytic CSG field."""
+    import numpy as np
+    from sdf_representation_tpu.geometry.primitives import (
+        bracket_sdf,
+        make_bracket,
+    )
+    from sdf_representation_tpu.ops.sdf_exact import signed_distance
+
+    mesh = make_bracket(96)
+    w = mesh.welded()
+    e = np.sort(w.faces[:, [0, 1, 1, 2, 2, 0]].reshape(-1, 2), axis=1)
+    uniq, cnt = np.unique(e, axis=0, return_counts=True)
+    assert np.all(cnt == 2), "not watertight"
+    chi = len(w.vertices) - len(uniq) + len(w.faces)
+    assert chi == -4
+    # labeling the extraction against the analytic field: signs must agree
+    # except within a voxel of the surface (extraction resolution limit)
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-1, 1, (4000, 3)).astype(np.float32)
+    analytic = bracket_sdf(pts)
+    voxel = 2.0 / 95
+    far = np.abs(analytic) > voxel
+    labeled, _ = signed_distance(pts[far], mesh, return_normals=False)
+    assert np.all((labeled < 0) == (analytic[far] < 0))
+    assert np.abs(labeled - analytic[far]).max() < 2 * voxel
