@@ -42,9 +42,47 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..models.implicit_net import ImplicitNet
 from .pallas_mlp import LANE, _round_up, prepare_fused_weights
-from .pallas_train import _dot_NT, _dot_TN, _unpack_grads
 
 F32 = jnp.float32
+
+
+def _dot_TN(a, b):
+    """a^T @ b contracting dim 0 with dim 0: (P,I),(P,O) -> (I,O)."""
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=F32
+    )
+
+
+def _dot_NT(a, b):
+    """a @ b^T contracting dim 1 with dim 1: (P,O),(I,O) -> (P,I)."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=F32
+    )
+
+
+def _unpack_grads(model: ImplicitNet, params, grads_flat):
+    """Map padded kernel gradients back onto the params pytree (the bias
+    accumulator slot of each layer follows its weight slot(s))."""
+    d_in = model.d_in
+    n_lin = model.num_layers - 1
+    layers = params["layers"]
+    out_layers = []
+    i = 0
+    for l in range(n_lin):
+        w = layers[l]["w"]
+        fan_in, fan_out = w.shape
+        if l != 0 and l in model.skip_in:
+            top = grads_flat[i][: fan_in - d_in, :fan_out]
+            bot = grads_flat[i + 1][:d_in, :fan_out]
+            dw = jnp.concatenate([top, bot], axis=0)
+            db = grads_flat[i + 2][0, :fan_out]
+            i += 3
+        else:
+            dw = grads_flat[i][:fan_in, :fan_out]
+            db = grads_flat[i + 1][0, :fan_out]
+            i += 2
+        out_layers.append({"w": dw.astype(w.dtype), "b": db.astype(w.dtype)})
+    return {"layers": out_layers}
 
 
 def _sigma(z, beta):
