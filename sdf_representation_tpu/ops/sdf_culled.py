@@ -172,30 +172,66 @@ def _cull_all_blocks(P_blocks, UB_blocks, sph, beta):
     )
 
 
-def _coarse_upper_bound(P_pad: np.ndarray, vertices, faces,
+@partial(jax.jit, static_argnames=("tri_chunk",))
+def _coarse_dist_device(node_blocks, tables, tri_chunk: int):
+    """Distance-only Eberly sweep of ALL chunks vs the coarse node blocks
+    (no winding, no refinement — only min d^2 is needed for the bound)."""
+
+    def one(P):
+        def dist_body(min_d2, chunk):
+            Pv0 = _mm(P, chunk["v0"].T)
+            Pv1 = _mm(P, chunk["v1"].T)
+            Pv2 = _mm(P, chunk["v2"].T)
+            d = chunk["e0v0"] - (Pv1 - Pv0)
+            e = chunk["e1v0"] - (Pv2 - Pv0)
+            s, t = _eberly_st(chunk["a"], chunk["b"], chunk["c"], d, e)
+            d2 = jnp.zeros_like(Pv0)
+            for k in range(3):
+                ck = (chunk["v0"][:, k] + s * chunk["E0"][:, k]
+                      + t * chunk["E1"][:, k])
+                dk = P[:, k : k + 1] - ck
+                d2 = d2 + dk * dk
+            d2 = jnp.where(chunk["valid"] > 0, d2, jnp.inf)
+            return jnp.minimum(min_d2, jnp.min(d2, axis=1)), None
+
+        min_d2, _ = jax.lax.scan(
+            dist_body, jnp.full((P.shape[0],), jnp.inf, jnp.float32), tables
+        )
+        return min_d2
+
+    return jax.lax.map(one, node_blocks)
+
+
+def _coarse_upper_bound(P_pad: np.ndarray, tables, tri_chunk: int,
                         grid: int = 32) -> np.ndarray:
     """Tight per-point distance upper bound from an EXACT coarse field.
 
     Labels a grid^3 lattice over the query AABB with exact unsigned
-    distances (dense tile sweep, grid^3 * F pairs — seconds even at 1M+
-    faces), then bounds every query by the triangle inequality
+    distances (distance-only tile sweep against the already-uploaded
+    triangle tables: grid^3 * F pairs — seconds even at 1M+ faces), then
+    bounds every query by the triangle inequality
         d(p) <= d(nearest node) + |p - nearest node|.
     This is what makes culling effective in the far field, where the
     sphere bound min_c(d_pc + r_c) barely separates chunks: sum_kd on a
-    256^3 audit drops ~5-10x. Conservative by construction, so distances
+    256^3 audit drops ~2-5x. Conservative by construction, so distances
     stay exact.
     """
-    from .sdf_exact import signed_distance as _sd_exact
-
     lo = P_pad.min(axis=0)
     hi = P_pad.max(axis=0)
     span = np.maximum(hi - lo, 1e-9)
     axes = [np.linspace(lo[k], hi[k], grid, dtype=np.float64)
             for k in range(3)]
     nodes = np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1).reshape(-1, 3)
-    S, _ = _sd_exact(nodes, vertices, faces, method="dense",
-                     return_normals=False)
-    d_nodes = np.abs(S).astype(np.float32).reshape(grid, grid, grid)
+    NB = 2048
+    n_nb = -(-len(nodes) // NB)
+    nodes_pad = np.zeros((n_nb * NB, 3), np.float32)
+    nodes_pad[: len(nodes)] = nodes
+    d2 = np.asarray(
+        _coarse_dist_device(
+            jnp.asarray(nodes_pad.reshape(n_nb, NB, 3)), tables, tri_chunk
+        )
+    ).reshape(-1)[: len(nodes)]
+    d_nodes = np.sqrt(d2).astype(np.float32).reshape(grid, grid, grid)
     cell = span / (grid - 1)
     # nearest node per query + exact residual |p - node|
     fidx = (P_pad - lo) / cell
@@ -465,12 +501,17 @@ def signed_distance_culled(
     P_blocks_np = P_pad.reshape(n_blocks, M, 3)
     P_blocks = jnp.asarray(P_blocks_np)
 
-    # exact coarse field -> tight per-point upper bounds (skip for small
-    # jobs where its fixed cost outweighs the cull savings)
+    tables = {k: jnp.asarray(v) for k, v in tables_np.items()}
+
+    # exact coarse field -> tight per-point upper bounds. Auto-gate on the
+    # total pair count: the prepass costs ~2 s of device compute but (on
+    # axon, where the persistent compile cache does not work) also a fresh
+    # ~1 min remote compile per process, so it must save more stream work
+    # than that to pay
     if coarse_bound is None:
-        coarse_bound = N >= 500_000
+        coarse_bound = float(N) * float(F) >= 1e12
     if coarse_bound:
-        ub = _coarse_upper_bound(P_pad, vertices, faces_sorted)
+        ub = _coarse_upper_bound(P_pad, tables, tri_chunk)
         UB_blocks = ub.reshape(n_blocks, M)
         t0 = _dbg(t0, "coarse upper bound")
     else:
@@ -500,8 +541,6 @@ def signed_distance_culled(
     # winding partition: exact over the beta-near chunks, dipole for ~kw
     far_pad = np.zeros((n_blocks, Cp), np.float32)
     far_pad[:, :C] = (~kw).astype(np.float32)
-
-    tables = {k: jnp.asarray(v) for k, v in tables_np.items()}
 
     db, dc, Sd = _stream_steps(kd, n_blocks)
     wb, wc, Sw = _stream_steps(kw, n_blocks)

@@ -128,11 +128,16 @@ def test_coarse_upper_bound_exactness():
 
 def test_coarse_upper_bound_is_valid():
     """ub >= true distance for every query point."""
+    import jax.numpy as jnp
+
     from sdf_representation_tpu.ops.sdf_culled import _coarse_upper_bound
+    from sdf_representation_tpu.ops.sdf_exact import _triangle_tables
 
     mesh = make_icosphere(subdivisions=3, radius=0.5)
     rng = np.random.default_rng(6)
     pts = rng.uniform(-1, 1, (2000, 3)).astype(np.float32)
-    ub = _coarse_upper_bound(pts, mesh.vertices, mesh.faces)
+    tables_np, _ = _triangle_tables(mesh.vertices, mesh.faces, 128)
+    tables = {k: jnp.asarray(v) for k, v in tables_np.items()}
+    ub = _coarse_upper_bound(pts, tables, 128)
     true, _ = signed_distance(pts, mesh)
     assert np.all(ub >= np.abs(true) - 1e-5)
