@@ -394,7 +394,9 @@ def _fused_vag_bwd(model, params, x_pad, a_pad, c_pad, tile_p, compute_dtype,
 def make_fused_value_and_grad(
     model: ImplicitNet,
     fwd_tile_p: int = 256,
-    bwd_tile_p: int = 128,
+    bwd_tile_p: int = 256,  # measured best on v5e (3.40 vs 3.23 M pts/s
+    # at 128; 512 regresses — the (n_lin-1, tile, h_pad) scratch pair
+    # starts spilling)
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
 ):
