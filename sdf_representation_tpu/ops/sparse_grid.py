@@ -49,6 +49,9 @@ from .pallas_mlp import LANE, _make_body, prepare_fused_weights
 
 PTS_PER_BLOCK = None  # block**3, computed per call
 
+# settled active-block budgets per static shape (see sparse_grid_eval)
+_KMAX_CACHE: dict = {}
+
 
 def active_threshold(n: int, block: int, safety: float, eps: float) -> float:
     """|f(center)| bound below which a block might touch a zero crossing.
@@ -60,8 +63,8 @@ def active_threshold(n: int, block: int, safety: float, eps: float) -> float:
     return safety * s * math.sqrt(3.0) * (block + 1) / 2.0 + eps
 
 
-def _make_block_kernel(spec, beta, nb, block, step, tile_blocks, compute_dtype,
-                       mxu_precision):
+def _make_block_kernel(spec, beta, nb, block, step, tile_blocks, k_max,
+                       compute_dtype, mxu_precision):
     pts = block * block * block
     tile_p = tile_blocks * pts
     body = _make_body(spec, beta, compute_dtype, mxu_precision)
@@ -69,28 +72,37 @@ def _make_block_kernel(spec, beta, nb, block, step, tile_blocks, compute_dtype,
     def kernel(ids_ref, *args):
         refs, out_ref = args[:-1], args[-1]
         i = pl.program_id(0)
-        row = jax.lax.broadcasted_iota(jnp.int32, (tile_p, LANE), 0)
-        # per-row block id: tile_blocks scalar SMEM reads broadcast to rows
-        bvec = jnp.full((tile_p, LANE), ids_ref[i * tile_blocks], jnp.int32)
-        for t in range(1, tile_blocks):
-            bvec = jnp.where(row >= t * pts, ids_ref[i * tile_blocks + t], bvec)
-        local = jax.lax.rem(row, pts)
-        lz = jax.lax.rem(local, block)
-        ly = jax.lax.rem(jax.lax.div(local, block), block)
-        lx = jax.lax.div(local, block * block)
-        bz = jax.lax.rem(bvec, nb)
-        by = jax.lax.rem(jax.lax.div(bvec, nb), nb)
-        bx = jax.lax.div(bvec, nb * nb)
-        ix = bx * block + lx
-        iy = by * block + ly
-        iz = bz * block + lz
-        col = jax.lax.broadcasted_iota(jnp.int32, (tile_p, LANE), 1)
-        ci = jnp.where(col == 0, ix, jnp.where(col == 1, iy, iz))
-        # identical arithmetic to the dense grid kernel -> bitwise-equal coords
-        x_pad = jnp.where(
-            col < 3, -1.0 + step * ci.astype(jnp.float32), 0.0
-        ).astype(compute_dtype)
-        body(refs, x_pad, out_ref)
+        # ids_ref carries [ids..., count]; tiles past the live count skip
+        # all compute (their scatter rows are dropped by the caller)
+        count = ids_ref[k_max]
+
+        @pl.when(i * tile_blocks < count)
+        def _():
+            row = jax.lax.broadcasted_iota(jnp.int32, (tile_p, LANE), 0)
+            # per-row block id: tile_blocks scalar SMEM reads broadcast to rows
+            bvec = jnp.full((tile_p, LANE), ids_ref[i * tile_blocks], jnp.int32)
+            for t in range(1, tile_blocks):
+                bvec = jnp.where(
+                    row >= t * pts, ids_ref[i * tile_blocks + t], bvec
+                )
+            local = jax.lax.rem(row, pts)
+            lz = jax.lax.rem(local, block)
+            ly = jax.lax.rem(jax.lax.div(local, block), block)
+            lx = jax.lax.div(local, block * block)
+            bz = jax.lax.rem(bvec, nb)
+            by = jax.lax.rem(jax.lax.div(bvec, nb), nb)
+            bx = jax.lax.div(bvec, nb * nb)
+            ix = bx * block + lx
+            iy = by * block + ly
+            iz = bz * block + lz
+            col = jax.lax.broadcasted_iota(jnp.int32, (tile_p, LANE), 1)
+            ci = jnp.where(col == 0, ix, jnp.where(col == 1, iy, iz))
+            # identical arithmetic to the dense grid kernel -> bitwise-equal
+            # coords
+            x_pad = jnp.where(
+                col < 3, -1.0 + step * ci.astype(jnp.float32), 0.0
+            ).astype(compute_dtype)
+            body(refs, x_pad, out_ref)
 
     return kernel
 
@@ -137,7 +149,7 @@ def _sparse_grid_device(
     tile_p = tile_blocks * pts
     n_tiles = k_max // tile_blocks
     kernel = _make_block_kernel(
-        spec, model.beta, nb, block, s, tile_blocks, compute_dtype,
+        spec, model.beta, nb, block, s, tile_blocks, k_max, compute_dtype,
         mxu_precision,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -156,12 +168,16 @@ def _sparse_grid_device(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles * 8, tile_p // 8), jnp.float32),
         interpret=interpret,
-    )(ids, *weights)
+    )(jnp.concatenate([ids, count[None].astype(jnp.int32)]), *weights)
     vals = fine.reshape(k_max, pts)
 
-    # --- assemble: coarse fill (correct sign everywhere off-shell) + scatter ---
+    # --- assemble: coarse fill (correct sign everywhere off-shell) + scatter
+    # (rows past the live count were skipped by the kernel: route their
+    # scatter index out of range and drop them) ---
+    valid = jnp.arange(k_max, dtype=jnp.int32) < count
+    ids_sc = jnp.where(valid, ids, nb3)
     vol_blocked = jnp.broadcast_to(coarse[:, None], (nb3, pts))
-    vol_blocked = vol_blocked.at[ids].set(vals)
+    vol_blocked = vol_blocked.at[ids_sc].set(vals, mode="drop")
     vol = (
         vol_blocked.reshape(nb, nb, nb, block, block, block)
         .transpose(0, 3, 1, 4, 2, 5)
@@ -196,7 +212,15 @@ def sparse_grid_eval(
     if n % block:
         raise ValueError(f"n={n} must be divisible by block={block}")
     nb3 = (n // block) ** 3
-    k_max = max(tile_blocks, int(nb3 * k_max_frac))
+    # start from the last settled budget for this static shape: without the
+    # cache EVERY call would re-pay a wasted undersized pass before growing
+    # (~0.6 s at 512^3), and thanks to the in-kernel early exit an oversized
+    # budget costs nothing but scatter rows
+    cache_key = (model, n, block, tile_blocks, float(safety), float(eps),
+                 str(compute_dtype), mxu_precision)
+    k_max = _KMAX_CACHE.get(
+        cache_key, max(tile_blocks, int(nb3 * k_max_frac))
+    )
     k_max = -(-k_max // tile_blocks) * tile_blocks
 
     while True:
@@ -206,6 +230,7 @@ def sparse_grid_eval(
         )
         count = int(count)
         if count <= k_max:
+            _KMAX_CACHE[cache_key] = k_max
             break
         if count > nb3 // 2:
             from .pallas_mlp import fused_grid_eval
