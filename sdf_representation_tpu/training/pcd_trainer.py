@@ -160,5 +160,36 @@ class PointCloudTrainer(Trainer):
             "last_epoch": final_epoch,
         }
 
+    def load_model(self, best: bool = True):
+        """Returns (trainable, epoch) from the PCD checkpoint layout
+        (params + opt_state + epoch + losses — cf. the reference's
+        executordistributed checkpoint cadence :95-107). Overrides the
+        labeled Trainer's loader, whose template does not match."""
+        path = os.path.join(self.model_save_path, "best_model.ckpt")
+        if not best or not os.path.exists(path):
+            found = ckpt.latest_epoch_checkpoint(self.model_save_path)
+            if found is None and not os.path.exists(path):
+                raise FileNotFoundError(
+                    f"no checkpoint under {self.model_save_path}"
+                )
+            if found is not None:
+                path = found[0]
+        shapes = jax.eval_shape(
+            self.model.init, jax.random.PRNGKey(self.init_seed)
+        )
+        params = jax.tree_util.tree_map(
+            lambda s: np.zeros(s.shape, s.dtype), shapes
+        )
+        optimizer = optax.adam(self.config.lr)
+        template = {
+            "params": params, "opt_state": optimizer.init(params),
+            "epoch": 0, "losses": np.zeros(0, np.float64),
+        }
+        state = ckpt.load_checkpoint(path, template)
+        return (
+            {"params": state["params"], "aux": {}},
+            int(state["epoch"]),
+        )
+
     def run(self):
         return self.train()
