@@ -305,6 +305,133 @@ class ImplicitNet {
     }
   }
 
+  // Forward + analytic gradients for a block of up to NB points (same
+  // transposed layout as forward_block, with per-layer pre-activations
+  // stashed for the reverse sweep). ~2x single-core over the per-point
+  // gradient path.
+  template <int NB>
+  void forward_grad_block(const float* pts, int nb, float* out, float* grads,
+                          std::vector<float>& H, std::vector<float>& T,
+                          std::vector<float>& PRE, std::vector<float>& D,
+                          std::vector<float>& DP) const {
+    const float inv_sqrt2 = 0.70710678118654752f;
+    const int n_lin = static_cast<int>(layers.size());
+    const int W = max_width();
+    H.assign(static_cast<size_t>(W) * NB, 0.0f);
+    size_t pre_total = 0;
+    for (const auto& L : layers) pre_total += static_cast<size_t>(L.out) * NB;
+    PRE.resize(pre_total);
+    std::vector<size_t> pre_off(n_lin);
+    {
+      size_t o = 0;
+      for (int l = 0; l < n_lin; ++l) {
+        pre_off[l] = o;
+        o += static_cast<size_t>(layers[l].out) * NB;
+      }
+    }
+    for (int p = 0; p < nb; ++p)
+      for (int k = 0; k < d_in; ++k)
+        H[static_cast<size_t>(k) * NB + p] = pts[p * d_in + k];
+    int cur = d_in;
+    for (int l = 0; l < n_lin; ++l) {
+      if (has_skip(l)) {
+        for (int k = 0; k < d_in; ++k)
+          for (int p = 0; p < nb; ++p)
+            H[static_cast<size_t>(cur + k) * NB + p] = pts[p * d_in + k];
+        cur += d_in;
+        for (size_t k = 0; k < static_cast<size_t>(cur) * NB; ++k)
+          H[k] *= inv_sqrt2;
+      }
+      const Layer& L = layers[l];
+      float* pre = &PRE[pre_off[l]];
+      std::fill(pre, pre + static_cast<size_t>(L.out) * NB, 0.0f);
+      for (int i = 0; i < L.in; ++i) {
+        const float* hrow = &H[static_cast<size_t>(i) * NB];
+        const float* wrow = &L.w[static_cast<size_t>(i) * L.out];
+        for (int j = 0; j < L.out; ++j) {
+          const float wij = wrow[j];
+          float* prow = pre + static_cast<size_t>(j) * NB;
+          for (int p = 0; p < NB; ++p) prow[p] += wij * hrow[p];
+        }
+      }
+      for (int j = 0; j < L.out; ++j) {
+        float* prow = pre + static_cast<size_t>(j) * NB;
+        const float bj = L.b[j];
+        for (int p = 0; p < NB; ++p) prow[p] += bj;
+      }
+      if (l < n_lin - 1) {
+        for (int j = 0; j < L.out; ++j) {
+          const float* prow = pre + static_cast<size_t>(j) * NB;
+          float* hrow = &H[static_cast<size_t>(j) * NB];
+          for (int p = 0; p < NB; ++p) hrow[p] = act(prow[p]);
+        }
+      } else {
+        for (int p = 0; p < nb; ++p) {
+          float v = pre[p];
+          out[p] = (beta <= 0) ? std::tanh(v) : v;
+        }
+      }
+      cur = L.out;
+    }
+
+    // reverse sweep: D = dL/d(pre-act of layer l), (width, NB)
+    D.assign(static_cast<size_t>(W) * NB, 0.0f);
+    DP.assign(static_cast<size_t>(W) * NB, 0.0f);
+    std::vector<float> dx(static_cast<size_t>(d_in) * NB, 0.0f);
+    for (int p = 0; p < nb; ++p) D[p] = 1.0f;
+    if (beta <= 0) {
+      const float* pre = &PRE[pre_off[n_lin - 1]];
+      for (int p = 0; p < nb; ++p) {
+        float t = std::tanh(pre[p]);
+        D[p] = 1.0f - t * t;
+      }
+    }
+    for (int l = n_lin - 1; l >= 0; --l) {
+      const Layer& L = layers[l];
+      // DP = W D : DP[i][p] = sum_j w[i,j] D[j][p]
+      std::fill(DP.begin(), DP.begin() + static_cast<size_t>(L.in) * NB, 0.0f);
+      for (int i = 0; i < L.in; ++i) {
+        const float* wrow = &L.w[static_cast<size_t>(i) * L.out];
+        float* dprow = &DP[static_cast<size_t>(i) * NB];
+        for (int j = 0; j < L.out; ++j) {
+          const float wij = wrow[j];
+          const float* drow = &D[static_cast<size_t>(j) * NB];
+          for (int p = 0; p < NB; ++p) dprow[p] += wij * drow[p];
+        }
+      }
+      int rows = L.in;
+      if (has_skip(l)) {
+        for (int k = 0; k < d_in; ++k) {
+          const float* dprow = &DP[static_cast<size_t>(rows - d_in + k) * NB];
+          float* dxrow = &dx[static_cast<size_t>(k) * NB];
+          for (int p = 0; p < NB; ++p) dxrow[p] += dprow[p] * inv_sqrt2;
+        }
+        rows -= d_in;
+        for (size_t k = 0; k < static_cast<size_t>(rows) * NB; ++k)
+          DP[k] *= inv_sqrt2;
+      }
+      if (l == 0) {
+        for (int k = 0; k < d_in; ++k) {
+          const float* dprow = &DP[static_cast<size_t>(k) * NB];
+          float* dxrow = &dx[static_cast<size_t>(k) * NB];
+          for (int p = 0; p < NB; ++p) dxrow[p] += dprow[p];
+        }
+        break;
+      }
+      const float* pre_prev = &PRE[pre_off[l - 1]];
+      const int prev_out = layers[l - 1].out;
+      for (int j = 0; j < prev_out; ++j) {
+        const float* dprow = &DP[static_cast<size_t>(j) * NB];
+        const float* prow = pre_prev + static_cast<size_t>(j) * NB;
+        float* drow = &D[static_cast<size_t>(j) * NB];
+        for (int p = 0; p < NB; ++p) drow[p] = dprow[p] * act_grad(prow[p]);
+      }
+    }
+    for (int p = 0; p < nb; ++p)
+      for (int k = 0; k < d_in; ++k)
+        grads[p * d_in + k] = dx[static_cast<size_t>(k) * NB + p];
+  }
+
   // Forward + analytic d(sdf)/d(x) via reverse accumulation.
   float forward_grad_point(const float* x, float* grad_out) const {
     int n_lin = static_cast<int>(layers.size());
@@ -364,13 +491,13 @@ class ImplicitNet {
         std::min<std::size_t>(static_cast<std::size_t>(n_threads), n ? n : 1));
     constexpr int NB = 16;
     auto work = [&](std::size_t lo, std::size_t hi) {
-      if (grads) {
-        for (std::size_t i = lo; i < hi; ++i)
-          out[i] = forward_grad_point(pts + i * d_in, grads + i * d_in);
-      } else {
-        std::vector<float> H, T;
-        for (std::size_t i = lo; i < hi; i += NB) {
-          int nb = static_cast<int>(std::min<std::size_t>(NB, hi - i));
+      std::vector<float> H, T, PRE, D, DP;
+      for (std::size_t i = lo; i < hi; i += NB) {
+        int nb = static_cast<int>(std::min<std::size_t>(NB, hi - i));
+        if (grads) {
+          forward_grad_block<NB>(pts + i * d_in, nb, out + i,
+                                 grads + i * d_in, H, T, PRE, D, DP);
+        } else {
           forward_block<NB>(pts + i * d_in, nb, out + i, H, T);
         }
       }
