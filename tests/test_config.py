@@ -89,3 +89,29 @@ def test_unknown_loss_raises(tmp_path, test_config_path):
     c = Configuration(str(p))
     with pytest.raises(ValueError, match="Unsupported loss"):
         c.make_loss()
+
+
+def test_unknown_model_raises(tmp_path, test_config_path):
+    text = open(test_config_path).read().replace(
+        "model = ImplicitNet", "model = NoSuchNet"
+    )
+    p = tmp_path / "bad_model.ini"
+    p.write_text(text)
+    cfg = Configuration(str(p))
+    with pytest.raises((KeyError, ValueError)):
+        cfg.make_model()
+
+
+def test_missing_section_raises(tmp_path):
+    p = tmp_path / "nosec.ini"
+    p.write_text("[Files]\ngeometry = x\ndirectory = y\nname = z\n")
+    with pytest.raises(Exception):
+        Configuration(str(p))
+
+
+def test_malformed_value_raises(tmp_path, test_config_path):
+    text = open(test_config_path).read().replace("lr = ", "lr = not_a_number")
+    p = tmp_path / "badval.ini"
+    p.write_text(text)
+    with pytest.raises(ValueError):
+        Configuration(str(p))
