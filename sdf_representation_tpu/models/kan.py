@@ -123,7 +123,13 @@ class KANLayerSpec:
 
     def apply(self, p: Params, x: jnp.ndarray) -> jnp.ndarray:
         base = jax.nn.silu(x) @ p["base_w"]
-        bases = b_splines(x, p["grid"], self.spline_order)  # (B, in, coeff)
+        # the knot grid is a BUFFER, not a trainable parameter (the
+        # reference registers it as such): letting the optimizer move knots
+        # eventually makes neighbours cross and the Cox-de Boor divisions
+        # blow up (observed as NaN after ~100 Adam epochs). stop_gradient
+        # keeps its grads — and hence Adam updates — exactly zero.
+        grid = jax.lax.stop_gradient(p["grid"])
+        bases = b_splines(x, grid, self.spline_order)  # (B, in, coeff)
         spline = jnp.einsum("bic,ico->bo", bases, self.scaled_spline_w(p))
         return base + spline
 

@@ -288,3 +288,27 @@ class TestLipschitz:
         np.testing.assert_allclose(
             plain.apply(loaded, x), lip.apply(params, x), rtol=1e-5, atol=1e-5
         )
+
+
+def test_kan_grid_is_frozen_buffer():
+    """The knot grid must receive exactly zero gradient (the reference
+    registers it as a buffer): trained knots eventually cross and the
+    Cox-de Boor divisions produce NaN (regression for a real divergence
+    observed after ~100 Adam epochs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sdf_representation_tpu.models import KAN
+
+    model = KAN(layers_hidden=(3, 16, 1), grid_size=8)
+    params = model.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (128, 3), minval=-1)
+
+    def loss(p):
+        return jnp.sum(model.apply(p, x) ** 2)
+
+    g = jax.grad(loss)(params)
+    for layer in g["layers"]:
+        assert float(jnp.abs(layer["grid"]).max()) == 0.0
+        assert float(jnp.abs(layer["base_w"]).max()) > 0.0
+        assert float(jnp.abs(layer["spline_w"]).max()) > 0.0
