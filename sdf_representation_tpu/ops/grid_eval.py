@@ -84,14 +84,15 @@ def evaluate_points(
     chunk: int = 262144,
     compute_dtype=jnp.float32,
 ) -> np.ndarray:
-    """Chunked evaluation of arbitrary points (post_process path)."""
+    """Chunked evaluation of arbitrary points (post_process path).
+
+    If a chunk does not fit in device memory (models with large per-point
+    intermediates — e.g. KAN's (chunk, in, coeff) spline bases at grid 256 —
+    can exceed HBM at the default chunk), the chunk is halved and the sweep
+    retried instead of surfacing the allocation error to the caller."""
     pts = np.asarray(points, dtype=np.float32)
     N = len(pts)
     chunk = min(chunk, max(N, 1))
-    n_chunks = -(-N // chunk)
-    pad = n_chunks * chunk - N
-    if pad:
-        pts = np.concatenate([pts, np.zeros((pad, 3), np.float32)])
 
     if compute_dtype == jnp.bfloat16:
         params = jax.tree_util.tree_map(
@@ -105,9 +106,28 @@ def evaluate_points(
     def f(p, x):
         return apply_fn(p, x.astype(compute_dtype)).astype(jnp.float32)
 
-    out = np.empty(n_chunks * chunk, np.float32)
-    for i in range(n_chunks):
-        out[i * chunk : (i + 1) * chunk] = np.asarray(
-            f(params, jnp.asarray(pts[i * chunk : (i + 1) * chunk]))
+    while True:
+        n_chunks = -(-N // chunk)
+        padded = n_chunks * chunk
+        pts_pad = (
+            np.concatenate([pts, np.zeros((padded - N, 3), np.float32)])
+            if padded != N
+            else pts
         )
-    return out[:N]
+        try:
+            out = np.empty(padded, np.float32)
+            for i in range(n_chunks):
+                out[i * chunk : (i + 1) * chunk] = np.asarray(
+                    f(params, jnp.asarray(pts_pad[i * chunk : (i + 1) * chunk]))
+                )
+            return out[:N]
+        except Exception as exc:  # jax raises backend-specific error types
+            msg = str(exc).lower()
+            oom = "memory" in msg or "resource exhausted" in msg
+            if not oom or chunk <= 4096:
+                raise
+            chunk //= 4
+            print(
+                f"evaluate_points: chunk OOM, retrying with chunk={chunk}",
+                flush=True,
+            )
