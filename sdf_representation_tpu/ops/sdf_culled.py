@@ -130,14 +130,16 @@ def _chunk_geometry(vertices: np.ndarray, faces: np.ndarray, tri_chunk: int):
 # Device culling prepass
 # ---------------------------------------------------------------------------
 
-def _cull_block_device(P, ub0, sph, beta):
+def _cull_block_device(P, ub0, sph, slack):
     """Per-point sphere bounds for one point block, OR-reduced to the block.
 
     P: (M, 3) f32; ub0: (M,) per-point upper bound on the true distance
     (inf, or the coarse-field bound — see _coarse_upper_bound); sph: dict of
-    (G, Gc, ...) grouped chunk spheres (center, center^2, radius). Returns
-    (keep_dist (Cp,), keep_wind (Cp,)) bools. Two scans over chunk groups:
-    min-reduce for u_p, then the OR.
+    (G, Gc, ...) grouped chunk spheres (center, center^2, radius) plus the
+    precomputed dipole-nearness threshold ``wthr`` (see _cull). ``slack``
+    is geometry-scale-relative (f32 rounding is relative to coordinate
+    magnitudes). Returns (keep_dist (Cp,), keep_wind (Cp,)) bools. Two
+    scans over chunk groups: min-reduce for u_p, then the OR.
     """
     P2 = jnp.sum(P * P, axis=1, keepdims=True)
 
@@ -155,8 +157,8 @@ def _cull_block_device(P, ub0, sph, beta):
 
     def keep_body(_, group):
         d = d_pc(group)
-        kd = jnp.any(d - group["r"] <= u_p[:, None] + _CULL_SLACK, axis=0)
-        kw = jnp.any(d <= beta * group["r"] + _CULL_SLACK, axis=0)
+        kd = jnp.any(d - group["r"] <= u_p[:, None] + slack, axis=0)
+        kw = jnp.any(d <= group["wthr"] + slack, axis=0)
         return None, (kd, kw)
 
     _, (kd, kw) = jax.lax.scan(keep_body, None, sph)
@@ -164,16 +166,16 @@ def _cull_block_device(P, ub0, sph, beta):
 
 
 @jax.jit
-def _cull_all_blocks(P_blocks, UB_blocks, sph, beta):
+def _cull_all_blocks(P_blocks, UB_blocks, sph, slack):
     """ONE dispatch for the whole culling prepass."""
     return jax.lax.map(
-        lambda xs: _cull_block_device(xs[0], xs[1], sph, beta),
+        lambda xs: _cull_block_device(xs[0], xs[1], sph, slack),
         (P_blocks, UB_blocks),
     )
 
 
-@partial(jax.jit, static_argnames=("tri_chunk",))
-def _coarse_dist_device(node_blocks, tables, tri_chunk: int):
+@jax.jit
+def _coarse_dist_device(node_blocks, tables):
     """Distance-only Eberly sweep of ALL chunks vs the coarse node blocks
     (no winding, no refinement — only min d^2 is needed for the bound)."""
 
@@ -203,7 +205,7 @@ def _coarse_dist_device(node_blocks, tables, tri_chunk: int):
 
 
 def _coarse_upper_bound(P_pad: np.ndarray, tables, tri_chunk: int,
-                        grid: int = 32) -> np.ndarray:
+                        grid: int = 32, eps: float = 1e-4) -> np.ndarray:
     """Tight per-point distance upper bound from an EXACT coarse field.
 
     Labels a grid^3 lattice over the query AABB with exact unsigned
@@ -228,7 +230,7 @@ def _coarse_upper_bound(P_pad: np.ndarray, tables, tri_chunk: int,
     nodes_pad[: len(nodes)] = nodes
     d2 = np.asarray(
         _coarse_dist_device(
-            jnp.asarray(nodes_pad.reshape(n_nb, NB, 3)), tables, tri_chunk
+            jnp.asarray(nodes_pad.reshape(n_nb, NB, 3)), tables
         )
     ).reshape(-1)[: len(nodes)]
     d_nodes = np.sqrt(d2).astype(np.float32).reshape(grid, grid, grid)
@@ -239,35 +241,47 @@ def _coarse_upper_bound(P_pad: np.ndarray, tables, tri_chunk: int,
     node_xyz = lo + nidx * cell
     resid = np.sqrt(((P_pad - node_xyz) ** 2).sum(axis=1)).astype(np.float32)
     ub = d_nodes[nidx[:, 0], nidx[:, 1], nidx[:, 2]] + resid
-    return ub + np.float32(1e-4)  # absorb f32 rounding of the coarse pass
+    return ub + np.float32(eps)  # absorb f32 rounding of the coarse pass
 
 
 def _cull(P_blocks, UB_blocks, chunk_centers, chunk_radii, beta,
-          group=_DIP_GROUP):
+          cbar=None, slack=_CULL_SLACK, group=_DIP_GROUP):
     """Candidate chunk sets per point block.
 
-    Returns (kd (B, C) bool distance candidates, kw (B, C) bool beta-near
+    Returns (kd (B, C) bool distance candidates, kw (B, C) bool near-field
     winding chunks). Conservative: the winning chunk is always in kd; every
     chunk NOT in kw satisfies the beta dipole criterion for every point.
+    The dipole is expanded about the area-weighted centroid cbar, which can
+    be offset by delta from the bounding-sphere center — elements then lie
+    within r + delta of cbar and |P - cbar| >= d - delta, so the sufficient
+    nearness test in sphere-center distance is
+        d <= beta*r + (beta + 1)*delta.
     """
     C = len(chunk_centers)
     Cp = max(group, -(-C // group) * group)
+    delta = (
+        np.linalg.norm(np.asarray(cbar) - chunk_centers, axis=1)
+        if cbar is not None
+        else np.zeros(C)
+    )
     sph_np = {
         "c": np.zeros((Cp, 3), np.float32),
         "c2": np.zeros((Cp,), np.float32),
         "r": np.zeros((Cp,), np.float32),
+        "wthr": np.zeros((Cp,), np.float32),
         "valid": np.zeros((Cp,), np.float32),
     }
     sph_np["c"][:C] = chunk_centers
     sph_np["c2"][:C] = np.einsum("ij,ij->i", chunk_centers, chunk_centers)
     sph_np["r"][:C] = chunk_radii
+    sph_np["wthr"][:C] = beta * chunk_radii + (beta + 1.0) * delta
     sph_np["valid"][:C] = 1.0
     g = Cp // group
     sph = {k: jnp.asarray(v.reshape(g, group, *v.shape[1:]))
            for k, v in sph_np.items()}
 
     kd, kw = _cull_all_blocks(jnp.asarray(P_blocks), jnp.asarray(UB_blocks),
-                              sph, jnp.float32(beta))
+                              sph, jnp.float32(slack))
     return np.asarray(kd)[:, :C], np.asarray(kw)[:, :C]
 
 
@@ -510,14 +524,20 @@ def signed_distance_culled(
     # than that to pay
     if coarse_bound is None:
         coarse_bound = float(N) * float(F) >= 1e12
+    # f32 rounding is relative to coordinate magnitude: slacks scale with
+    # the scene so unrescaled meshes (coords >> 1) keep the exactness
+    # contract (the winning chunk must never be culled)
+    scale = float(max(np.abs(vertices).max(initial=0.0),
+                      np.abs(points).max(initial=0.0), 1.0))
     if coarse_bound:
-        ub = _coarse_upper_bound(P_pad, tables, tri_chunk)
+        ub = _coarse_upper_bound(P_pad, tables, tri_chunk, eps=1e-4 * scale)
         UB_blocks = ub.reshape(n_blocks, M)
         t0 = _dbg(t0, "coarse upper bound")
     else:
         UB_blocks = np.full((n_blocks, M), np.inf, np.float32)
 
-    kd, kw = _cull(P_blocks, UB_blocks, chunk_c, chunk_r, beta)
+    kd, kw = _cull(P_blocks, UB_blocks, chunk_c, chunk_r, beta,
+                   cbar=cbar, slack=_CULL_SLACK * scale)
     t0 = _dbg(t0, f"cull (B={n_blocks}, sum_kd={kd.sum()}, "
                   f"sum_kw={kw.sum()}, C={C})")
 

@@ -47,8 +47,6 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models.implicit_net import ImplicitNet
 from .pallas_mlp import LANE, _make_body, prepare_fused_weights
 
-PTS_PER_BLOCK = None  # block**3, computed per call
-
 # settled active-block budgets per static shape (see sparse_grid_eval)
 _KMAX_CACHE: dict = {}
 

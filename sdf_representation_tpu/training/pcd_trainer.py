@@ -59,10 +59,13 @@ class PointCloudTrainer(Trainer):
         from .trainer import _bind_apply
 
         # fused Pallas eikonal VJP under the same opt-in as the main trainer:
-        # mixed precision requested, unsharded, real TPU backend
+        # mixed precision requested, unsharded, real TPU backend, and NOT
+        # the Lipschitz variant (the kernel backward produces {w,b} grads
+        # only — see make_train_step)
         prec = getattr(self.config, "train_matmul_precision", None)
         pallas_igr = (
             prec == "bfloat16" and mesh is None
+            and not getattr(model, "lipschitz", False)
             and jax.default_backend() not in ("cpu",)
         )
         apply_fn = _bind_apply(model, None, pallas_igr=pallas_igr)
@@ -174,12 +177,7 @@ class PointCloudTrainer(Trainer):
                 )
             if found is not None:
                 path = found[0]
-        shapes = jax.eval_shape(
-            self.model.init, jax.random.PRNGKey(self.init_seed)
-        )
-        params = jax.tree_util.tree_map(
-            lambda s: np.zeros(s.shape, s.dtype), shapes
-        )
+        params = self._init_trainable(concrete=False)["params"]
         optimizer = optax.adam(self.config.lr)
         template = {
             "params": params, "opt_state": optimizer.init(params),

@@ -235,7 +235,7 @@ def make_multi_epoch_fn(
 
     @jax.jit
     def multi_epoch_fn(trainable, opt_state, X, Y, Xv, Yv, rng, epoch0,
-                       best_val):
+                       best_val, block):
         def one_epoch(carry, ek):
             e, k = ek
             trainable, opt_state, best_val, best_tr, best_st, best_idx = carry
@@ -253,9 +253,18 @@ def make_multi_epoch_fn(
                 tr, st, lv = step(tr, st, xb, yb, rng_i, e)
                 return (tr, st, i + 1), lv
 
-            (trainable, opt_state, _), losses = jax.lax.scan(
+            (new_tr, new_st, _), losses = jax.lax.scan(
                 body, (trainable, opt_state, 0), perm
             )
+            # a final partial block (c.epochs - epoch0 < epochs_per_call)
+            # must NOT advance state past the configured epoch budget: the
+            # scan length is static, so epochs k >= block become no-ops
+            live = k < block
+            sel = lambda n, o: jax.tree_util.tree_map(
+                lambda a, b: jnp.where(live, a, b), n, o
+            )
+            trainable = sel(new_tr, trainable)
+            opt_state = sel(new_st, opt_state)
             train_loss = jnp.mean(losses)
 
             if n_val > 0:
@@ -278,7 +287,7 @@ def make_multi_epoch_fn(
             else:
                 val_loss = train_loss
 
-            better = val_loss < best_val
+            better = live & (val_loss < best_val)
             best_val = jnp.where(better, val_loss, best_val)
             best_idx = jnp.where(better, k, best_idx)
             pick = lambda new, old: jax.tree_util.tree_map(
@@ -542,7 +551,7 @@ class Trainer:
             (trainable, opt_state, tl_vec, vl_vec,
              best_tr, best_st, best_idx) = multi_epoch_fn(
                 trainable, opt_state, X, Y, Xv, Yv, root_rng, epoch0,
-                jnp.float32(best_val),
+                jnp.float32(best_val), jnp.int32(block),
             )
             tl_vec = np.asarray(tl_vec)[:block]
             vl_vec = np.asarray(vl_vec)[:block]
@@ -579,22 +588,22 @@ class Trainer:
             if last_improve_k >= 0:
                 # the scan carried the best-val epoch's snapshot; save THOSE
                 # params (mid-block bests are not lost — reference cadence
-                # executor.py:209-214)
-                if int(best_idx) == last_improve_k:
-                    ckpt.save_checkpoint(
-                        best_path,
-                        {**state,
-                         "trainable": jax.device_get(best_tr),
-                         "opt_state": jax.device_get(best_st),
-                         "epoch": epoch0 + last_improve_k},
-                    )
-                else:
-                    # device-side best landed on an epoch past the early-stop
-                    # cut; keep the previous best checkpoint
-                    print(
-                        "best-epoch snapshot beyond early-stop cut; "
-                        "previous best checkpoint kept"
-                    )
+                # executor.py:209-214). When early stop fires mid-block the
+                # device best can come from a (legitimately trained) epoch
+                # after the stop trigger; it is still this run's true best,
+                # so keep checkpoint/best_val/history CONSISTENT by adopting
+                # it rather than leaving best_model.ckpt stale.
+                bi = int(best_idx)  # always < block: dead epochs can't win
+                if bi != last_improve_k and bi >= 0:
+                    best_val = float(vl_vec[bi])
+                ckpt.save_checkpoint(
+                    best_path,
+                    {**state,
+                     "trainable": jax.device_get(best_tr),
+                     "opt_state": jax.device_get(best_st),
+                     "best_val": best_val,
+                     "epoch": epoch0 + (bi if bi >= 0 else last_improve_k)},
+                )
             block_end = epoch0 + block
             if (block_end % c.checkpointing) < block or block >= c.checkpointing:
                 ckpt.save_checkpoint(

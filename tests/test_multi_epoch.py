@@ -99,3 +99,34 @@ def test_best_checkpoint_mid_block(tmp_path):
         not np.allclose(np.asarray(a), np.asarray(b))
         for a, b in zip(end_leaves, best_leaves)
     )
+
+
+def test_partial_final_block_respects_budget(tmp_path):
+    """epochs not divisible by epochs_per_call: the final partial block must
+    NOT advance parameters past the configured budget (regression: the
+    static-length scan used to train the overrun epochs for real)."""
+    import jax.numpy as jnp
+
+    ds = sphere_dataset()
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    cfg1 = tiny_config(tmp_path / "a", epochs=10)
+    r1 = Trainer(cfg1).train(dataset=ds)
+
+    cfg8 = tiny_config(tmp_path / "b", epochs=10)
+    cfg8.epochs_per_call = 8  # second block covers only 2 live epochs
+    t8 = Trainer(cfg8)
+    r8 = t8.train(dataset=ds)
+
+    assert r8["epochs_run"] == 10
+    np.testing.assert_allclose(
+        r1["train_losses"], r8["train_losses"], rtol=1e-5, atol=1e-7
+    )
+    # the RETURNED params equal the per-epoch run's (no overrun training)
+    import jax
+
+    fa, _ = jax.tree_util.tree_flatten(r1["trainable"])
+    fb, _ = jax.tree_util.tree_flatten(r8["trainable"])
+    for a, b in zip(fa, fb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)

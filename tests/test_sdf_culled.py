@@ -141,3 +141,17 @@ def test_coarse_upper_bound_is_valid():
     ub = _coarse_upper_bound(pts, tables, 128)
     true, _ = signed_distance(pts, mesh)
     assert np.all(ub >= np.abs(true) - 1e-5)
+
+
+def test_large_coordinate_scale_exactness():
+    """Culling slacks are scene-scale-relative: a mesh with coordinates in
+    the thousands must still return exactly the dense-path distances (f32
+    rounding there is ~1e-4 absolute, which would defeat unit-scale
+    slacks)."""
+    mesh = make_icosphere(subdivisions=3, radius=500.0)
+    rng = np.random.default_rng(7)
+    pts = rng.uniform(-1000, 1000, (2048, 3))
+    ref, _ = signed_distance(pts, mesh, point_chunk=2048, tri_chunk=128)
+    got, _ = signed_distance_culled(pts, mesh, point_chunk=256, tri_chunk=128)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-3)
+    assert np.all(np.sign(got) == np.sign(ref))
