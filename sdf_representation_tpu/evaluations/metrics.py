@@ -167,8 +167,16 @@ def compute_grid_metrics(pred_sdf: np.ndarray, true_sdf: np.ndarray,
                 jnp.sum(jnp.where(m, e2, 0.0)) / jnp.maximum(denom, 1e-30)
             )
             cnt = jnp.count_nonzero(m)
-            keep = jnp.minimum(
-                1.0, jnp.float32(cap) / jnp.maximum(cnt.astype(jnp.float32), 1.0)
+            # target slightly under the cap: if the Bernoulli draw exceeded
+            # it, nonzero(size=cap) would truncate the HIGHEST flat indices,
+            # spatially biasing the sample against one side of the grid.
+            # 0.997*cap keeps overflow probability negligible (3-sigma at
+            # cap=1e6) at the cost of ~0.3% fewer emitted rows.
+            keep = jnp.where(
+                cnt <= cap,
+                1.0,
+                0.997 * jnp.float32(cap)
+                / jnp.maximum(cnt.astype(jnp.float32), 1.0),
             )
             idxs.append(jnp.nonzero(m & (u < keep), size=cap, fill_value=-1)[0])
             counts.append(cnt)
