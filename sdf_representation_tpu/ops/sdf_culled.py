@@ -115,14 +115,17 @@ def _chunk_geometry(vertices: np.ndarray, faces: np.ndarray, tri_chunk: int):
     for c in range(C):
         t = tri[c * tri_chunk : (c + 1) * tri_chunk]
         pts = t.reshape(-1, 3)
-        ctr = 0.5 * (pts.min(axis=0) + pts.max(axis=0))
-        centers[c] = ctr
-        radii[c] = np.sqrt(((pts - ctr) ** 2).sum(axis=1).max())
         area_vec = 0.5 * np.cross(t[:, 1] - t[:, 0], t[:, 2] - t[:, 0])
         m[c] = area_vec.sum(axis=0)
         w = np.linalg.norm(area_vec, axis=1)
         wsum = max(w.sum(), 1e-300)
         cbar[c] = (t.mean(axis=1) * w[:, None]).sum(axis=0) / wsum
+        # bounding sphere centered AT the dipole expansion point: the
+        # Barnes-Hut nearness test d <= beta*r is then exact (no centroid
+        # offset correction), and any enclosing sphere is valid for the
+        # distance cull (r grows only marginally vs the AABB center)
+        centers[c] = cbar[c]
+        radii[c] = np.sqrt(((pts - cbar[c]) ** 2).sum(axis=1).max())
     return centers, radii, m, cbar
 
 
