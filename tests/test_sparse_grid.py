@@ -98,3 +98,44 @@ def test_sparse_rejects_indivisible_n():
     model, params = _model_and_params()
     with pytest.raises(ValueError):
         sparse_grid_eval(model, params, 60, block=8)
+
+
+def test_budget_cache_oversize_is_harmless():
+    """The settled-budget cache can leave k_max larger than a later call
+    needs (different params, fewer active blocks); the in-kernel early exit
+    plus drop-scatter must keep the result identical to a fresh run."""
+    import jax
+    import jax.numpy as jnp
+
+    from sdf_representation_tpu.models import ImplicitNet
+    from sdf_representation_tpu.ops.pallas_mlp import fused_grid_eval
+    from sdf_representation_tpu.ops.sparse_grid import (
+        _KMAX_CACHE,
+        sparse_grid_eval,
+    )
+
+    model = ImplicitNet(d_in=3, hidden_dims=(16,) * 2, skip_in=(1,),
+                        beta=100.0, radius_init=0.5)
+    n = 32
+    p1 = model.init(jax.random.PRNGKey(0))
+    v1, c1 = sparse_grid_eval(
+        model, p1, n, interpret=True, compute_dtype=jnp.float32,
+        return_count=True,
+    )
+    # different params -> different (typically smaller/other) active set,
+    # same cache key
+    p2 = jax.tree_util.tree_map(lambda a: a * 0.5, p1)
+    v2, c2 = sparse_grid_eval(
+        model, p2, n, interpret=True, compute_dtype=jnp.float32,
+        return_count=True,
+    )
+    ref2 = fused_grid_eval(model, p2, n, compute_dtype=jnp.float32,
+                           interpret=True)
+    # active blocks must match the dense eval exactly despite the reused
+    # (potentially oversized) budget
+    import numpy as np
+
+    v2 = np.asarray(v2).reshape(-1)
+    ref2 = np.asarray(ref2).reshape(-1)
+    mask = np.abs(ref2) < 0.05  # near-shell values are from refined blocks
+    np.testing.assert_array_equal(v2[mask], ref2[mask])
