@@ -201,3 +201,34 @@ def test_export_cli(tmp_path):
     for f in ("model.sdfw", "model.onnx", "model_int8.sdfw", "input.csv",
               "output.csv", "gradient.csv"):
         assert (out / f).exists(), f
+
+
+def test_native_parity_lipschitz(tmp_path, native_build):
+    """Exports of the Lipschitz variant bake the row scaling: the C++
+    runtime (which knows only plain {w,b} layers) must match the Lipschitz
+    forward to f32 precision."""
+    import jax.numpy as jnp
+
+    model = ImplicitNet(d_in=3, hidden_dims=(48,) * 3, skip_in=(2,),
+                        beta=100.0, lipschitz=True)
+    params = model.init(jax.random.PRNGKey(3))
+    # non-trivial scaling on every layer
+    params["layers"] = [
+        {**l, "c": jnp.asarray(0.8)} for l in params["layers"]
+    ]
+    out = str(tmp_path)
+    save_for_native(out, model, params, onnx=False)
+    fixtures = write_parity_fixtures(out, model, params, n_points=64)
+    cpp_out = os.path.join(out, "cpp_output.csv")
+    cpp_grad = os.path.join(out, "cpp_gradient.csv")
+    subprocess.run(
+        [
+            os.path.join(native_build, "parity_main"),
+            os.path.join(out, "model.sdfw"),
+            fixtures["input"], cpp_out, cpp_grad,
+        ],
+        check=True, capture_output=True,
+    )
+    ref_out = np.loadtxt(fixtures["output"], delimiter=",")
+    got_out = np.loadtxt(cpp_out, delimiter=",")
+    np.testing.assert_allclose(got_out, ref_out, rtol=1e-4, atol=1e-5)
