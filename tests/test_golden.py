@@ -60,3 +60,34 @@ def test_init_is_seed_deterministic():
     m2, p2 = _model()
     for a, b in zip(p1["layers"], p2["layers"]):
         np.testing.assert_array_equal(np.asarray(a["w"]), np.asarray(b["w"]))
+
+
+def test_evaluate_points_oom_fallback(monkeypatch):
+    """evaluate_points quarters its chunk and retries when the device
+    reports an allocation failure (KAN-scale intermediates)."""
+    import jax.numpy as jnp
+
+    from sdf_representation_tpu.ops import grid_eval
+
+    calls = []
+    real_jit = grid_eval.jax.jit
+
+    def fake_jit(fn):
+        jf = real_jit(fn)
+
+        def wrapper(p, x):
+            calls.append(x.shape[0])
+            if x.shape[0] > 8192:
+                raise RuntimeError("RESOURCE EXHAUSTED: Out of memory")
+            return jf(p, x)
+
+        return wrapper
+
+    monkeypatch.setattr(grid_eval.jax, "jit", fake_jit)
+    pts = np.random.default_rng(0).uniform(-1, 1, (32768, 3)).astype(np.float32)
+    out = grid_eval.evaluate_points(
+        lambda p, x: jnp.linalg.norm(x, axis=-1) - 0.5, {}, pts, chunk=32768
+    )
+    expected = np.linalg.norm(pts, axis=1) - 0.5
+    np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-6)
+    assert max(calls) == 32768 and min(calls) <= 8192  # retried smaller
