@@ -88,8 +88,8 @@ def evaluate_points(
 
     If a chunk does not fit in device memory (models with large per-point
     intermediates — e.g. KAN's (chunk, in, coeff) spline bases at grid 256 —
-    can exceed HBM at the default chunk), the chunk is halved and the sweep
-    retried instead of surfacing the allocation error to the caller."""
+    can exceed HBM at the default chunk), the chunk is quartered and the
+    sweep retried instead of surfacing the allocation error to the caller."""
     pts = np.asarray(points, dtype=np.float32)
     N = len(pts)
     chunk = min(chunk, max(N, 1))

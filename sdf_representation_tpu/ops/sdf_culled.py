@@ -494,6 +494,14 @@ def signed_distance_culled(
     N = len(points)
     if N == 0:
         return np.zeros(0), np.zeros((0, 3))
+    if len(faces) == 0:
+        # empty mesh: no surface, everything is far field (+inf, outside);
+        # _chunk_geometry would otherwise .max() over an empty array
+        d = np.full(N, np.inf, dtype=np.float64)
+        g = np.zeros((N, 3), dtype=np.float64)
+        if return_device:
+            return jnp.asarray(d), jnp.asarray(g)
+        return d, g
 
     t0 = time.time()
     # Morton-sort faces (chunk compactness) and points (block coherence)

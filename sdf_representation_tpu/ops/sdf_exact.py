@@ -364,15 +364,25 @@ def signed_distance(
     if method == "culled":
         from .sdf_culled import signed_distance_culled
 
+        culled_kwargs = {}
+        if point_chunk is not None:
+            culled_kwargs["point_chunk"] = point_chunk
         return signed_distance_culled(
             points, vertices, faces, return_normals=return_normals,
             tri_chunk=culled_tc, on_surface_eps=on_surface_eps,
-            return_device=return_device,
+            return_device=return_device, **culled_kwargs,
         )
     points = np.ascontiguousarray(points, dtype=np.float32)
     N = len(points)
     if N == 0:
         return np.zeros(0), np.zeros((0, 3))
+    if len(faces) == 0:
+        # empty mesh: no surface → far field everywhere (+inf, outside)
+        d = np.full(N, np.inf, dtype=np.float64)
+        g = np.zeros((N, 3), dtype=np.float64)
+        if return_device:
+            return jnp.asarray(d), jnp.asarray(g)
+        return d, g
 
     tables_np, F = _triangle_tables(vertices, faces, tri_chunk)
     tables = {k: jnp.asarray(v) for k, v in tables_np.items()}

@@ -79,7 +79,12 @@ class PointCloudTrainer(Trainer):
             _, grads = sdf_and_gradient_fwd(apply_fn, params, sampled)
             grad_norm = jnp.linalg.norm(grads[:, -3:], axis=-1)
             eik = jnp.mean((grad_norm - 1.0) ** 2)
-            return surface_loss + grad_lambda * eik
+            value = surface_loss + grad_lambda * eik
+            if getattr(model, "lipschitz", False) and model.lipschitz_weight > 0:
+                # arXiv:2202.08345 eq. 7 — mirror make_train_step: without
+                # this the per-layer bounds c are never penalised in PCD mode
+                value = value + model.lipschitz_weight * model.lipschitz_bound(params)
+            return value
 
         @jax.jit
         def epoch_fn(params, opt_state, X, rng):

@@ -585,24 +585,39 @@ class Trainer:
                 "val_losses": np.asarray(val_losses),
                 "best_val": best_val,
             }
-            if last_improve_k >= 0:
+            bi = int(best_idx)  # always < block: dead epochs can't win
+            if bi >= 0 or last_improve_k >= 0:
                 # the scan carried the best-val epoch's snapshot; save THOSE
                 # params (mid-block bests are not lost — reference cadence
                 # executor.py:209-214). When early stop fires mid-block the
                 # device best can come from a (legitimately trained) epoch
                 # after the stop trigger; it is still this run's true best,
                 # so keep checkpoint/best_val/history CONSISTENT by adopting
-                # it rather than leaving best_model.ckpt stale.
-                bi = int(best_idx)  # always < block: dead epochs can't win
-                if bi != last_improve_k and bi >= 0:
+                # it rather than leaving best_model.ckpt stale. Gate on the
+                # DEVICE best_idx, not the host loop's last_improve_k: the
+                # host breaks at the stop epoch and never sees a post-break
+                # improvement, so last_improve_k can be -1 while bi >= 0.
+                if bi >= 0 and bi != last_improve_k:
                     best_val = float(vl_vec[bi])
+                adopted_k = bi if bi >= 0 else last_improve_k
+                # history saved with the best checkpoint must reach its
+                # epoch: if the host loop broke early, extend with the
+                # device-measured rows so a resume's start_epoch never
+                # exceeds the history length
+                hist_end = max(final_epoch - epoch0, adopted_k) + 1
+                tl_full = train_losses[: len(train_losses) - (final_epoch - epoch0 + 1)] \
+                    + list(tl_vec[:hist_end].astype(float))
+                vl_full = val_losses[: len(val_losses) - (final_epoch - epoch0 + 1)] \
+                    + list(vl_vec[:hist_end].astype(float))
                 ckpt.save_checkpoint(
                     best_path,
                     {**state,
                      "trainable": jax.device_get(best_tr),
                      "opt_state": jax.device_get(best_st),
                      "best_val": best_val,
-                     "epoch": epoch0 + (bi if bi >= 0 else last_improve_k)},
+                     "train_losses": np.asarray(tl_full),
+                     "val_losses": np.asarray(vl_full),
+                     "epoch": epoch0 + adopted_k},
                 )
             block_end = epoch0 + block
             if (block_end % c.checkpointing) < block or block >= c.checkpointing:

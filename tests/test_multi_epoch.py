@@ -130,3 +130,63 @@ def test_partial_final_block_respects_budget(tmp_path):
     for a, b in zip(fa, fb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+class _ScheduleLoss:
+    """Epoch-indexed additive offset with zero parameter gradient: val loss
+    follows the schedule exactly when lr=0 (params never move)."""
+
+    def __init__(self, offsets):
+        self.offsets = list(offsets)
+
+    def __call__(self, params, apply_fn, x, y, epoch, rng=None, aux=None):
+        import jax.numpy as jnp
+
+        pred = apply_fn(params, x).reshape(x.shape[0])
+        table = jnp.asarray(self.offsets, jnp.float32)
+        e = jnp.clip(jnp.asarray(epoch, jnp.int32), 0, len(self.offsets) - 1)
+        return jnp.mean((pred - y[:, 0]) ** 2) * 0.0 + jnp.take(table, e)
+
+
+def test_post_break_device_best_is_adopted(tmp_path):
+    """ADVICE r2: early stop before any host-visible improvement in the
+    block must still adopt the DEVICE best (best_idx >= 0, last_improve_k
+    == -1), and the saved history must reach the adopted epoch."""
+    from sdf_representation_tpu.training import checkpoint as ckpt
+    import optax
+
+    ds = sphere_dataset(2000)
+    # block 1 (e0-3): steady improvement; block 2 (e4-7): worse at k=0,1
+    # (stop fires at e5, patience 2) but e6 = 0.6 beats the running best
+    offsets = [1.0, 0.9, 0.8, 0.7, 0.9, 0.95, 0.6, 0.65]
+    cfg = tiny_config(tmp_path, epochs=8, patience=2, min_epochs=1, lr=0.0)
+    cfg.epochs_per_call = 4
+    t = Trainer(cfg)
+    t.loss = _ScheduleLoss(offsets)
+    res = t.train(dataset=ds)
+    assert res["last_epoch"] == 5  # host stopped at epoch 5
+
+    _, best_epoch = t.load_model(best=True)
+    assert best_epoch == 6  # device best adopted despite the host break
+
+    # raw checkpoint: history must reach the adopted epoch and best_val
+    # must match the adopted epoch's schedule value
+    trainable = t._init_trainable(concrete=False)
+    template = {
+        "trainable": trainable,
+        "opt_state": t._make_optimizer(cfg.batchsize).init(trainable),
+        "epoch": 0,
+        "train_losses": np.zeros(0, np.float64),
+        "val_losses": np.zeros(0, np.float64),
+        "best_val": 0.0,
+    }
+    state = ckpt.load_checkpoint(
+        os.path.join(t.model_save_path, "best_model.ckpt"), template
+    )
+    assert int(state["epoch"]) == 6
+    assert len(state["val_losses"]) == 7  # epochs 0..6 inclusive
+    assert len(state["train_losses"]) == 7
+    np.testing.assert_allclose(float(state["best_val"]), 0.6, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(state["val_losses"]), offsets[:7], atol=1e-5
+    )
