@@ -16,15 +16,14 @@ within the decomposition, and vectorises cleanly:
      so normals point toward positive field values (SDF outside).
 
 API mirrors skimage: marching_cubes(volume, level, spacing, origin) ->
-(vertices, faces). Passing a DEVICE array (jax.Array) runs the active-cube
-detection + corner gather on the accelerator and fetches only the compacted
-shell (O(n^2) data instead of the n^3 volume — at 512^3 that is ~50 MB vs
-537 MB through the axon relay), then runs the host core on the shell.
+(vertices, faces). Passing a DEVICE array (jax.Array) dispatches to
+ops/marching_device.py, which runs the ENTIRE tet core (cases, sort-free
+welding, orientation) as XLA ops and ships only the packed mesh — the host
+core below serves numpy volumes (tests, small grids).
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import numpy as np
@@ -114,10 +113,12 @@ def marching_cubes(
 
     Returns (vertices (V,3) float64 in world coords, faces (F,3) int64),
     faces oriented with normals pointing toward values > level. Device
-    volumes (jax.Array) take the compacted-shell fast path.
+    volumes (jax.Array) take the fully on-device fast path.
     """
     if "jax" in type(volume).__module__:  # jax.Array: no host copy
-        return _marching_cubes_device(volume, level, spacing, origin)
+        from .marching_device import marching_cubes_device
+
+        return marching_cubes_device(volume, level, spacing, origin)
     vol = np.asarray(volume, dtype=np.float32)
     level = np.float32(level)
     nx, ny, nz = vol.shape
@@ -182,7 +183,10 @@ def _march_core(
     # ---- 2. tets --------------------------------------------------------
     tet_ids = corner_ids[:, _TETS].reshape(-1, 4)  # (A*6, 4) global point ids
     tet_vals = corner_vals[:, _TETS].reshape(-1, 4).astype(np.float32)
-    inside = tet_vals < level
+    # <= matches the active-cube prefilter (s = vol <= level) and the device
+    # path's live-edge predicate; with < a value EXACTLY at the level could
+    # make emission disagree with the prefilter/vertex liveness
+    inside = tet_vals <= level
     case = (
         inside[:, 0] * 1 + inside[:, 1] * 2 + inside[:, 2] * 4 + inside[:, 3] * 8
     )
@@ -246,79 +250,8 @@ def _march_core(
     return verts_world, faces.astype(np.int64)
 
 
-# ---------------------------------------------------------------------------
-# Device frontend: detect + compact the active shell on the accelerator
-# ---------------------------------------------------------------------------
-
-_ACTIVE_DEVICE = None
-
-
-def _get_active_device():
-    """Lazily-built jitted shell extractor (keeps this module numpy-only for
-    pure-host callers)."""
-    global _ACTIVE_DEVICE
-    if _ACTIVE_DEVICE is None:
-        import jax
-        import jax.numpy as jnp
-
-        @partial(jax.jit, static_argnames=("k_max",))
-        def _active_device(vol, level, k_max):
-            nx, ny, nz = vol.shape
-            c = [
-                vol[dx : nx - 1 + dx, dy : ny - 1 + dy, dz : nz - 1 + dz]
-                for dx, dy, dz in _CORNERS
-            ]
-            cmin, cmax = c[0], c[0]
-            for ck in c[1:]:
-                cmin = jnp.minimum(cmin, ck)
-                cmax = jnp.maximum(cmax, ck)
-            mask = ((cmin <= level) & (cmax > level)).reshape(-1)
-            count = jnp.sum(mask.astype(jnp.int32))
-            (ids,) = jnp.nonzero(mask, size=k_max, fill_value=0)
-            ids = ids.astype(jnp.int32)
-            iz = ids % (nz - 1)
-            iy = (ids // (nz - 1)) % (ny - 1)
-            ix = ids // ((nz - 1) * (ny - 1))
-            flat = vol.reshape(-1)
-            corners = jnp.stack(
-                [
-                    flat[((ix + dx) * ny + iy + dy) * nz + iz + dz]
-                    for dx, dy, dz in _CORNERS
-                ],
-                axis=1,
-            )
-            return ids, corners, count
-
-        _ACTIVE_DEVICE = _active_device
-    return _ACTIVE_DEVICE
-
-
-def _marching_cubes_device(vol, level, spacing, origin):
-    """Active cubes found + corner values gathered ON DEVICE; only the
-    compacted O(n^2) shell crosses the (slow) device->host link. The static
-    shell budget starts at a surface heuristic and grows pow2 on overflow
-    (same recompile-bounding trick as ops/sparse_grid)."""
-    nx, ny, nz = vol.shape
-    if min(nx, ny, nz) < 2:
-        return np.zeros((0, 3)), np.zeros((0, 3), dtype=np.int64)
-    n_cubes = (nx - 1) * (ny - 1) * (nz - 1)
-    k_max = min(n_cubes, 1 << int(12 * max(nx, ny, nz) ** 2).bit_length())
-    fn = _get_active_device()
-    while True:
-        ids, corners, count = fn(vol, np.float32(level), k_max)
-        count = int(count)
-        if count <= k_max:
-            break
-        k_max = min(n_cubes, 1 << (count - 1).bit_length())
-    ids = np.asarray(ids[:count], dtype=np.int64)
-    corner_vals = np.asarray(corners[:count], dtype=np.float32)
-    active = np.stack(
-        [
-            ids // ((nz - 1) * (ny - 1)),
-            (ids // (nz - 1)) % (ny - 1),
-            ids % (nz - 1),
-        ],
-        axis=1,
-    )
-    return _march_core(active, corner_vals, (nx, ny, nz), level, spacing,
-                       origin)
+# Device volumes are handled by ops/marching_device.py: the whole tet core
+# (case classification, welding via canonical edge slots, orientation) runs
+# as XLA ops; the host only unpacks indices and writes files. The round-2
+# shell-compaction hybrid lived here (see git history) — superseded because
+# the host core + shell fetch dominated 512^3 extraction.

@@ -83,3 +83,115 @@ def test_grid_world_mapping():
     spacing = 3.0 / (n - 1)
     verts, _ = marching_cubes(vol, 0.0, (spacing,) * 3, (0, 0, 0))
     np.testing.assert_allclose(verts[:, 0], 1.5, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Device path (ops/marching_device): full on-device extraction
+# ---------------------------------------------------------------------------
+
+def _canon_soup(verts, faces):
+    """Canonicalize a mesh to a sorted triangle soup for exact comparison
+    (device and host paths order vertices/faces differently)."""
+    tris = verts[faces]  # (F, 3, 3)
+    # sort the 3 vertices within each triangle lexicographically
+    flat = tris.reshape(len(tris), 3, 3)
+    order = np.lexsort((flat[:, :, 2], flat[:, :, 1], flat[:, :, 0]), axis=1)
+    flat = np.take_along_axis(flat, order[:, :, None], axis=1)
+    arr = flat.reshape(len(tris), 9)
+    return arr[np.lexsort(arr.T[::-1])]
+
+
+def _device_and_host(vol, level=0.0, spacing=(1.0, 1.0, 1.0),
+                     origin=(0.0, 0.0, 0.0)):
+    import jax.numpy as jnp
+
+    vh, fh = marching_cubes(np.asarray(vol, np.float32), level, spacing, origin)
+    vd, fd = marching_cubes(jnp.asarray(vol, jnp.float32), level, spacing, origin)
+    return (vh, fh), (vd, fd)
+
+
+def test_device_matches_host_sphere():
+    """Device extraction produces the EXACT same triangle soup as the host
+    path (same tet decomposition, case tables, f32 interpolation)."""
+    n = 40
+    vol = sphere_volume(n)
+    spacing = 2.0 / (n - 1)
+    (vh, fh), (vd, fd) = _device_and_host(vol, 0.0, (spacing,) * 3,
+                                          (-1, -1, -1))
+    assert len(fh) == len(fd) and len(vh) == len(vd)
+    np.testing.assert_array_equal(_canon_soup(vh, fh), _canon_soup(vd, fd))
+
+
+def test_device_matches_host_noncubic_and_level():
+    rng = np.random.default_rng(3)
+    vol = rng.normal(size=(13, 21, 9)).astype(np.float32)
+    # smooth it so the surface is not pathological
+    for ax in range(3):
+        vol = (np.roll(vol, 1, ax) + vol + np.roll(vol, -1, ax)) / 3
+    (vh, fh), (vd, fd) = _device_and_host(vol, 0.1)
+    assert len(fh) > 0
+    np.testing.assert_array_equal(_canon_soup(vh, fh), _canon_soup(vd, fd))
+
+
+def test_device_matches_host_exact_zero_values():
+    """Field values EXACTLY at the level (plane through grid points): the
+    <= predicate must agree between prefilter, live edges and emission on
+    both paths."""
+    n = 12
+    ax = np.arange(n, dtype=np.float32)
+    x, y, z = np.meshgrid(ax, ax, ax, indexing="ij")
+    vol = x - 5.0  # zero exactly on the x=5 grid plane
+    (vh, fh), (vd, fd) = _device_and_host(vol, 0.0)
+    assert len(fh) > 0
+    np.testing.assert_array_equal(_canon_soup(vh, fh), _canon_soup(vd, fd))
+    # all vertices on the plane
+    np.testing.assert_allclose(vd[:, 0], 5.0, atol=0)
+
+
+def test_device_empty_level_set():
+    import jax.numpy as jnp
+
+    vol = jnp.asarray(sphere_volume(16) + 10.0, jnp.float32)
+    verts, faces = marching_cubes(vol, 0.0)
+    assert len(verts) == 0 and len(faces) == 0
+
+
+def test_device_budget_growth():
+    """A deliberately tiny initial budget must grow transparently and still
+    produce the right mesh."""
+    import jax.numpy as jnp
+    from sdf_representation_tpu.ops import marching_device as md
+
+    n = 32
+    vol = sphere_volume(n)
+    md._BUDGET_CACHE.pop((n, n, n), None)
+    md._BUDGET_CACHE[(n, n, n)] = (8, 8, 8, 8)  # absurdly small
+    spacing = 2.0 / (n - 1)
+    vd, fd = marching_cubes(jnp.asarray(vol, jnp.float32), 0.0,
+                            (spacing,) * 3, (-1, -1, -1))
+    vh, fh = marching_cubes(vol, 0.0, (spacing,) * 3, (-1, -1, -1))
+    np.testing.assert_array_equal(_canon_soup(vh, fh), _canon_soup(vd, fd))
+    # settled budgets cached for the next call
+    b, m, v, t = md._BUDGET_CACHE[(n, n, n)]
+    assert v >= len(vd) and t >= len(fd)
+
+
+def test_device_closed_and_oriented():
+    import jax.numpy as jnp
+
+    n = 28
+    vol = jnp.asarray(sphere_volume(n), jnp.float32)
+    spacing = 2.0 / (n - 1)
+    verts, faces = marching_cubes(vol, 0.0, (spacing,) * 3, (-1, -1, -1))
+    edges = np.concatenate(
+        [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]]
+    )
+    edges = np.sort(edges, axis=1)
+    _, counts = np.unique(edges, axis=0, return_counts=True)
+    assert np.all(counts == 2)
+    mesh = Mesh(verts, faces)
+    fn = mesh.face_normals()
+    centers = mesh.triangles.mean(axis=1)
+    dots = np.einsum("ij,ij->i", fn,
+                     centers / np.linalg.norm(centers, axis=1, keepdims=True))
+    assert (dots > 0).mean() > 0.99
