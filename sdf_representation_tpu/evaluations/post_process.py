@@ -62,7 +62,13 @@ def post_process(trainer, mesh_path: Optional[str] = None) -> Dict[str, float]:
     from ..models.implicit_net import ImplicitNet
     import jax
 
-    if (
+    from ..models.hash_mlp import HashMLP
+
+    if isinstance(trainer.model, HashMLP):
+        from ..ops.hash_grid_eval import hash_grid_eval
+
+        pred = hash_grid_eval(trainer.model, params, n).reshape(-1)
+    elif (
         getattr(c, "use_pallas", True)
         and isinstance(trainer.model, ImplicitNet)
         and jax.devices()[0].platform not in ("cpu",)

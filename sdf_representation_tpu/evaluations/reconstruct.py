@@ -37,10 +37,17 @@ def reconstruct_mesh(
     evaluator (coarse block sweep -> Pallas refinement of near-surface blocks
     only, ops/sparse_grid) produces the identical extracted mesh while
     evaluating ~5-15% of the volume; the dense fused kernel is the fallback
-    for grids not divisible by the block size."""
+    for grids not divisible by the block size. A HashMLP routes to the
+    separable interpolation evaluator (ops/hash_grid_eval) — per-level
+    corner volumes + banded matmuls instead of per-point gathers."""
+    from ..models.hash_mlp import HashMLP
     from ..models.implicit_net import ImplicitNet
 
-    if (
+    if isinstance(model, HashMLP):
+        from ..ops.hash_grid_eval import hash_grid_eval
+
+        vol = hash_grid_eval(model, params, cubesize)
+    elif (
         use_pallas
         and isinstance(model, ImplicitNet)
         and jax.devices()[0].platform not in ("cpu",)
