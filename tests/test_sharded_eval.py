@@ -74,3 +74,83 @@ def test_non_divisible_tiles(model_params, use_pallas):
         )
     )
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Sharded SPARSE evaluation
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def sdf_model_params():
+    # geometric init => f ~ |x| - 0.5: a realistic sparse-friendly field
+    model = ImplicitNet(
+        d_in=3, hidden_dims=(32,) * 3, skip_in=(2,), beta=100.0,
+        radius_init=0.5,
+    )
+    return model, model.init(jax.random.PRNGKey(0))
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 8])
+def test_sparse_sharded_matches_single_device(sdf_model_params, n_dev):
+    """Sharded-sparse == single-device sparse, elementwise (VERDICT r2 #4)."""
+    from sdf_representation_tpu.ops.sharded_eval import sparse_sharded_grid_eval
+    from sdf_representation_tpu.ops.sparse_grid import sparse_grid_eval
+
+    model, params = sdf_model_params
+    n = 64  # nb = 8 splits over 1/2/8 devices
+    ref, count_ref = sparse_grid_eval(
+        model, params, n, compute_dtype=jnp.float32, interpret=True,
+        eps=1e-4, return_count=True,
+    )
+    out, count = sparse_sharded_grid_eval(
+        model, params, n, get_mesh(n_dev), compute_dtype=jnp.float32,
+        use_pallas=False, eps=1e-4, return_count=True,
+    )
+    assert count == count_ref
+    assert 0 < count < (n // 8) ** 3  # genuinely sparse
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_sparse_sharded_pallas_interpret(sdf_model_params):
+    from sdf_representation_tpu.ops.sharded_eval import sparse_sharded_grid_eval
+    from sdf_representation_tpu.ops.sparse_grid import sparse_grid_eval
+
+    model, params = sdf_model_params
+    n = 32  # nb = 4 over 4 devices: one block-plane each
+    ref = sparse_grid_eval(
+        model, params, n, compute_dtype=jnp.float32, interpret=True, eps=1e-4,
+    )
+    out = sparse_sharded_grid_eval(
+        model, params, n, get_mesh(4), compute_dtype=jnp.float32,
+        use_pallas=True, interpret=True, eps=1e-4,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_sparse_sharded_budget_overflow_retries(sdf_model_params):
+    from sdf_representation_tpu.ops.sharded_eval import sparse_sharded_grid_eval
+    from sdf_representation_tpu.ops.sparse_grid import sparse_grid_eval
+
+    model, params = sdf_model_params
+    n = 64
+    ref = sparse_grid_eval(
+        model, params, n, compute_dtype=jnp.float32, interpret=True, eps=1e-4,
+    )
+    out = sparse_sharded_grid_eval(
+        model, params, n, get_mesh(2), k_max_frac=0.01,
+        compute_dtype=jnp.float32, use_pallas=False, eps=1e-4,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_sparse_sharded_rejects_indivisible_block_grid(sdf_model_params):
+    from sdf_representation_tpu.ops.sharded_eval import sparse_sharded_grid_eval
+
+    model, params = sdf_model_params
+    with pytest.raises(ValueError):
+        # nb = 3 does not split over 2 devices
+        sparse_sharded_grid_eval(model, params, 24, get_mesh(2))
