@@ -7,9 +7,13 @@ reference builds with torch.autograd.grad(create_graph=True)
 forward program) costs 12 matmul-units/layer and XLA runs it bandwidth-bound
 (~2 M pts/s on the 8x512 flagship). This module restructures the math:
 
-  * Forward kernel: primal + all 3 basis tangents ride ONE stacked
-    (4*tile_p, width) matmul per layer, VMEM-resident weights, zero
-    intermediate HBM traffic. 4 units/layer at dense-kernel efficiency.
+  * Forward kernel: the output is a SCALAR, so grad_x f is ONE reverse
+    sweep, not 3 forward tangents: primal forward (1 matmul-unit/layer,
+    sigma(z) stashed in VMEM scratch) + in-kernel backprop of a single
+    cotangent (1 unit/layer, plus one small extra matmul at each
+    input-consuming layer). ~2 units/layer, VMEM-resident weights, zero
+    intermediate HBM traffic. (Round 2 used primal + 3 basis tangents =
+    4 units/layer; the reverse form halves it.)
   * Backward (the custom VJP): for loss cotangents (a, c) = (dL/df, dL/dg),
         dL/dtheta = grad_theta sum_b [ a_b f_b + c_b . grad_x f(x_b) ]
                   = grad_theta sum_b [ a_b f_b + D_{c_b} f(x_b) ]
@@ -19,10 +23,10 @@ forward program) costs 12 matmul-units/layer and XLA runs it bandwidth-bound
     (2 units) and runs their reverse sweep (4 units), accumulating dW/db in
     VMEM accumulators across sequential grid steps. 6 units/layer.
 
-  Total: 10 matmul-units/layer vs 12 for the generic path, at fused-kernel
-  MXU efficiency instead of HBM-bound XLA — measured 1.6x end-to-end IGRLOSS
-  epoch throughput (3.2 vs 2.05 M pts/s on one v5e chip, RESULTS.md;
-  kernels alone: fwd 30 ms + bwd 50 ms per 262k-point step ≈ 67-75% MXU).
+  Total: ~8 matmul-units/layer vs 12 for the generic path, at fused-kernel
+  MXU efficiency instead of HBM-bound XLA (round-2 10-unit version measured
+  1.6x end-to-end IGRLOSS epoch throughput, 3.4 vs 2.05 M pts/s on one v5e
+  chip; see RESULTS.md for the current number).
 
 The VJP is **params-only**: the returned x-cotangent is zero (the losses
 treat x as data; differentiating this op w.r.t. x would silently yield 0 —
@@ -103,32 +107,32 @@ def _act(z, beta):
 # ---------------------------------------------------------------------------
 
 def _make_fwd_kernel(spec, beta, d_in, tile_p, compute_dtype):
-    """Primal + d_in basis tangents as SEPARATE arrays (no row stacking:
-    concatenates are full-VMEM copies every layer and halve throughput).
-    Basis-tangent contributions at the input-consuming layers collapse to
-    weight-row broadcasts (e_k @ W = W[k])."""
+    """Primal forward + REVERSE sweep from the scalar head.
+
+    The round-2 version carried d_in=3 forward-mode basis tangents through
+    every layer (4 matmul-units/layer). But the output is a SCALAR, so the
+    full input gradient is one reverse sweep: forward (1 unit/layer,
+    stashing sigma(z) per hidden layer in VMEM scratch) + backprop of a
+    single cotangent (1 unit/layer, plus one extra (tile, h)x(h, LANE)
+    matmul at each input-consuming layer for the dx term). ~2 units/layer —
+    the VERDICT-r2 "fuse the seeds" lever, taken to its limit.
+    """
     inv_sqrt2 = 1.0 / math.sqrt(2.0)
     n_lin = len(spec)
-    n_seg = 1 + d_in
 
     def kernel(x_ref, *args):
-        refs, out_ref = args[:-1], args[-1]
+        refs, out_ref, s_st = args[:-2], args[-2], args[-1]
         x_pad = x_ref[:].astype(compute_dtype)
 
+        # ---- primal forward, stashing activation derivatives --------------
         h = None
-        T = [None] * d_in  # tangent activations, each (tile_p, width)
-        ri = 0
         z = None
-        Tz = [None] * d_in
+        ri = 0
         for l, (kind, _) in enumerate(spec):
             if kind == "first":
                 w, b = refs[ri], refs[ri + 1]
                 ri += 2
                 z = jnp.dot(x_pad, w[:], preferred_element_type=F32) + b[:]
-                for k in range(d_in):
-                    Tz[k] = jnp.broadcast_to(
-                        w[k : k + 1, :].astype(F32), z.shape
-                    )
             elif kind == "skip":
                 w_top, w_bot, b = refs[ri], refs[ri + 1], refs[ri + 2]
                 ri += 3
@@ -136,38 +140,59 @@ def _make_fwd_kernel(spec, beta, d_in, tile_p, compute_dtype):
                     jnp.dot(h, w_top[:], preferred_element_type=F32)
                     + jnp.dot(x_pad, w_bot[:], preferred_element_type=F32)
                 ) * inv_sqrt2 + b[:]
-                for k in range(d_in):
-                    Tz[k] = (
-                        jnp.dot(T[k], w_top[:], preferred_element_type=F32)
-                        + jnp.broadcast_to(w_bot[k : k + 1, :].astype(F32), z.shape)
-                    ) * inv_sqrt2
             else:
                 w, b = refs[ri], refs[ri + 1]
                 ri += 2
                 z = jnp.dot(h, w[:], preferred_element_type=F32) + b[:]
-                for k in range(d_in):
-                    Tz[k] = jnp.dot(T[k], w[:], preferred_element_type=F32)
             if l < n_lin - 1:
-                s = _sigma(z, beta)
+                s_st[l] = _sigma(z, beta).astype(compute_dtype)
                 h = _act(z, beta).astype(compute_dtype)
-                for k in range(d_in):
-                    T[k] = (Tz[k] * s).astype(compute_dtype)
 
-        # Pack (f, g) into one (tile_p, LANE) block: the last layer's padded
-        # output columns are exact zeros, so each result is [val, 0, ..., 0];
-        # a matmul against E_k (col0 -> col k) places them side by side
-        # (direct lane-1 slicing/reshapes are Mosaic relayout poison).
-        segs = [z] + [Tz[k] for k in range(d_in)]
-        if beta <= 0:
-            t = jnp.tanh(segs[0])  # zero cols stay zero
-            segs = [t] + [sg * (1.0 - t * t) for sg in segs[1:]]
+        # ---- head + cotangent seed ----------------------------------------
+        # z's padded cols are exact zeros (zero weight cols + zero bias pad),
+        # so f = [value, 0, ...] and the dz seed only needs column 0 live.
+        col = jax.lax.broadcasted_iota(jnp.int32, (tile_p, LANE), 1)
+        if beta > 0:
+            f_out = z
+            dz = jnp.where(col == 0, 1.0, 0.0)
+        else:
+            t = jnp.tanh(z)  # zero cols stay zero
+            f_out = t
+            dz = jnp.where(col == 0, 1.0 - t * t, 0.0)
+
+        # ---- reverse sweep: dx = grad_x f ---------------------------------
+        dx = None
+        rev = ri
+        for l in range(n_lin - 1, -1, -1):
+            kind = spec[l][0]
+            dz_c = dz.astype(compute_dtype)
+            if kind == "skip":
+                w_top, w_bot = refs[rev - 3], refs[rev - 2]
+                rev -= 3
+                dxl = _dot_NT(dz_c, w_bot[:]) * inv_sqrt2
+                dx = dxl if dx is None else dx + dxl
+                dh = _dot_NT(dz_c, w_top[:]) * inv_sqrt2
+            elif kind == "first":
+                w = refs[rev - 2]
+                rev -= 2
+                dxl = _dot_NT(dz_c, w[:])
+                dx = dxl if dx is None else dx + dxl
+                dh = None
+            else:
+                w = refs[rev - 2]
+                rev -= 2
+                dh = _dot_NT(dz_c, w[:])
+            if l > 0:
+                dz = dh * s_st[l - 1].astype(F32)
+
+        # ---- pack (f, g) into one (tile_p, LANE) block --------------------
+        # dx cols >= d_in are exact zeros (padded weight rows are zero), so
+        # a shift matmul (col k -> col k+1) lays g beside f without Mosaic
+        # relayout trouble.
         r_idx = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
         c_idx = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
-        out = segs[0]  # f already lives in column 0
-        for k in range(1, n_seg):
-            ek = ((r_idx == 0) & (c_idx == k)).astype(F32)
-            out = out + jnp.dot(segs[k], ek, preferred_element_type=F32)
-        out_ref[:] = out
+        shift = ((r_idx + 1 == c_idx) & (r_idx < d_in)).astype(F32)
+        out_ref[:] = f_out + jnp.dot(dx, shift, preferred_element_type=F32)
 
     return kernel
 
@@ -176,10 +201,10 @@ def _make_fwd_kernel(spec, beta, d_in, tile_p, compute_dtype):
     jax.jit, static_argnames=("model", "tile_p", "compute_dtype", "interpret")
 )
 def _fused_vag_fwd(model, params, x_pad, tile_p, compute_dtype, interpret):
-    weights, spec, _ = prepare_fused_weights(model, params, compute_dtype)
+    weights, spec, h_pad = prepare_fused_weights(model, params, compute_dtype)
     n_tiles = x_pad.shape[0] // tile_p
     d_in = model.d_in
-    n_seg = 1 + d_in
+    n_lin = len(spec)
     kernel = _make_fwd_kernel(spec, model.beta, d_in, tile_p, compute_dtype)
     out = pl.pallas_call(
         kernel,
@@ -196,6 +221,9 @@ def _fused_vag_fwd(model, params, x_pad, tile_p, compute_dtype, interpret):
             (tile_p, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n_tiles * tile_p, LANE), F32),
+        scratch_shapes=[
+            pltpu.VMEM((max(n_lin - 1, 1), tile_p, h_pad), compute_dtype),
+        ],
         interpret=interpret,
     )(x_pad, *weights)
     # (n_pad, LANE): col 0 = f, cols 1..d_in = df/dx_k
