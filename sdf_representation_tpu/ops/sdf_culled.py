@@ -99,33 +99,56 @@ def _morton_order(points: np.ndarray) -> np.ndarray:
     return np.argsort(_morton3(q), kind="stable")
 
 
-def _chunk_geometry(vertices: np.ndarray, faces: np.ndarray, tri_chunk: int):
+def _chunk_geometry(vertices: np.ndarray, faces: np.ndarray, tri_chunk: int,
+                    super_faces: int = 4_194_304):
     """Per-chunk bounding spheres + dipole moments (valid triangles only).
 
     Returns (centers (C,3), radii (C,), m (C,3) area-vector sums,
     cbar (C,3) area-weighted centroids) as float64.
+
+    Fully vectorized over chunks (the round-2 per-chunk Python loop was
+    ~100k iterations at 100M faces); memory is bounded by processing
+    ``super_faces`` faces per sweep (~0.9 GB of f64 triangles at the
+    default), so 10M+ face meshes stream through without a blow-up.
     """
-    tri = vertices[faces].astype(np.float64)  # (F, 3, 3)
-    F = len(tri)
+    F = len(faces)
     C = max(1, -(-F // tri_chunk))
     centers = np.zeros((C, 3))
     radii = np.zeros(C)
     m = np.zeros((C, 3))
     cbar = np.zeros((C, 3))
-    for c in range(C):
-        t = tri[c * tri_chunk : (c + 1) * tri_chunk]
-        pts = t.reshape(-1, 3)
-        area_vec = 0.5 * np.cross(t[:, 1] - t[:, 0], t[:, 2] - t[:, 0])
-        m[c] = area_vec.sum(axis=0)
-        w = np.linalg.norm(area_vec, axis=1)
-        wsum = max(w.sum(), 1e-300)
-        cbar[c] = (t.mean(axis=1) * w[:, None]).sum(axis=0) / wsum
+    if F == 0:
+        return centers, radii, m, cbar
+    chunks_per_super = max(1, super_faces // tri_chunk)
+    for c0 in range(0, C, chunks_per_super):
+        c1 = min(C, c0 + chunks_per_super)
+        f0, f1 = c0 * tri_chunk, min(F, c1 * tri_chunk)
+        t = vertices[faces[f0:f1]].astype(np.float64)  # (n, 3, 3)
+        nc = c1 - c0
+        n = f1 - f0
+        pad = nc * tri_chunk - n
+        if pad:
+            t = np.concatenate([t, np.repeat(t[-1:], pad, axis=0)])
+        vm = np.ones((nc, tri_chunk), np.float64)
+        if pad:
+            vm.reshape(-1)[n:] = 0.0
+        t4 = t.reshape(nc, tri_chunk, 3, 3)
+        av = 0.5 * np.cross(
+            t4[:, :, 1] - t4[:, :, 0], t4[:, :, 2] - t4[:, :, 0]
+        ) * vm[..., None]  # (nc, tc, 3); pads contribute zero moment
+        m[c0:c1] = av.sum(axis=1)
+        w = np.linalg.norm(av, axis=2)
+        wsum = np.maximum(w.sum(axis=1), 1e-300)
+        cb = (t4.mean(axis=2) * w[..., None]).sum(axis=1) / wsum[:, None]
         # bounding sphere centered AT the dipole expansion point: the
         # Barnes-Hut nearness test d <= beta*r is then exact (no centroid
         # offset correction), and any enclosing sphere is valid for the
         # distance cull (r grows only marginally vs the AABB center)
-        centers[c] = cbar[c]
-        radii[c] = np.sqrt(((pts - cbar[c]) ** 2).sum(axis=1).max())
+        cbar[c0:c1] = cb
+        centers[c0:c1] = cb
+        d2 = ((t4.reshape(nc, -1, 3) - cb[:, None]) ** 2).sum(axis=-1)
+        d2 *= np.repeat(vm, 3, axis=1)  # pads never set the radius
+        radii[c0:c1] = np.sqrt(d2.max(axis=1))
     return centers, radii, m, cbar
 
 
