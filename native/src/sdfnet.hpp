@@ -305,27 +305,45 @@ class ImplicitNet {
     }
   }
 
+  // Fused activation + derivative: one fast_expf serves both (the backward
+  // used to replay act_grad from stashed pre-activations — recomputing a
+  // third of all transcendentals; stashing sigma instead removes them).
+  inline void act_and_sig(float z, float* hv, float* sv) const {
+    if (beta > 0) {
+      float bz = beta * z;
+      float bzc = bz < 20.0f ? bz : 20.0f;
+      float e = fast_expf(bzc);
+      float soft = fast_logf(1.0f + e) / beta;
+      *hv = bz > 20.0f ? z : soft;
+      *sv = bz > 20.0f ? 1.0f : e / (1.0f + e);
+    } else {
+      *hv = z > 0 ? z : 0.0f;
+      *sv = z > 0 ? 1.0f : 0.0f;
+    }
+  }
+
   // Forward + analytic gradients for a block of up to NB points (same
-  // transposed layout as forward_block, with per-layer pre-activations
-  // stashed for the reverse sweep). ~2x single-core over the per-point
-  // gradient path.
+  // transposed layout as forward_block, with per-layer activation
+  // DERIVATIVES stashed during the forward for the reverse sweep). ~2x
+  // single-core over the per-point gradient path.
   template <int NB>
   void forward_grad_block(const float* pts, int nb, float* out, float* grads,
                           std::vector<float>& H, std::vector<float>& T,
-                          std::vector<float>& PRE, std::vector<float>& D,
+                          std::vector<float>& SIG, std::vector<float>& D,
                           std::vector<float>& DP) const {
     const float inv_sqrt2 = 0.70710678118654752f;
     const int n_lin = static_cast<int>(layers.size());
     const int W = max_width();
     H.assign(static_cast<size_t>(W) * NB, 0.0f);
-    size_t pre_total = 0;
-    for (const auto& L : layers) pre_total += static_cast<size_t>(L.out) * NB;
-    PRE.resize(pre_total);
-    std::vector<size_t> pre_off(n_lin);
+    size_t sig_total = 0;
+    for (int l = 0; l + 1 < n_lin; ++l)
+      sig_total += static_cast<size_t>(layers[l].out) * NB;
+    SIG.resize(sig_total);
+    std::vector<size_t> sig_off(n_lin);
     {
       size_t o = 0;
-      for (int l = 0; l < n_lin; ++l) {
-        pre_off[l] = o;
+      for (int l = 0; l + 1 < n_lin; ++l) {
+        sig_off[l] = o;
         o += static_cast<size_t>(layers[l].out) * NB;
       }
     }
@@ -343,8 +361,8 @@ class ImplicitNet {
           H[k] *= inv_sqrt2;
       }
       const Layer& L = layers[l];
-      float* pre = &PRE[pre_off[l]];
-      std::fill(pre, pre + static_cast<size_t>(L.out) * NB, 0.0f);
+      T.assign(static_cast<size_t>(L.out) * NB, 0.0f);
+      float* pre = T.data();
       for (int i = 0; i < L.in; ++i) {
         const float* hrow = &H[static_cast<size_t>(i) * NB];
         const float* wrow = &L.w[static_cast<size_t>(i) * L.out];
@@ -360,10 +378,13 @@ class ImplicitNet {
         for (int p = 0; p < NB; ++p) prow[p] += bj;
       }
       if (l < n_lin - 1) {
+        float* sig = &SIG[sig_off[l]];
         for (int j = 0; j < L.out; ++j) {
           const float* prow = pre + static_cast<size_t>(j) * NB;
           float* hrow = &H[static_cast<size_t>(j) * NB];
-          for (int p = 0; p < NB; ++p) hrow[p] = act(prow[p]);
+          float* srow = sig + static_cast<size_t>(j) * NB;
+          for (int p = 0; p < NB; ++p)
+            act_and_sig(prow[p], &hrow[p], &srow[p]);
         }
       } else {
         for (int p = 0; p < nb; ++p) {
@@ -380,11 +401,8 @@ class ImplicitNet {
     std::vector<float> dx(static_cast<size_t>(d_in) * NB, 0.0f);
     for (int p = 0; p < nb; ++p) D[p] = 1.0f;
     if (beta <= 0) {
-      const float* pre = &PRE[pre_off[n_lin - 1]];
-      for (int p = 0; p < nb; ++p) {
-        float t = std::tanh(pre[p]);
-        D[p] = 1.0f - t * t;
-      }
+      // tanh head: out already holds tanh(pre), so 1 - out^2 is its slope
+      for (int p = 0; p < nb; ++p) D[p] = 1.0f - out[p] * out[p];
     }
     for (int l = n_lin - 1; l >= 0; --l) {
       const Layer& L = layers[l];
@@ -418,13 +436,13 @@ class ImplicitNet {
         }
         break;
       }
-      const float* pre_prev = &PRE[pre_off[l - 1]];
+      const float* sig_prev = &SIG[sig_off[l - 1]];
       const int prev_out = layers[l - 1].out;
       for (int j = 0; j < prev_out; ++j) {
         const float* dprow = &DP[static_cast<size_t>(j) * NB];
-        const float* prow = pre_prev + static_cast<size_t>(j) * NB;
+        const float* srow = sig_prev + static_cast<size_t>(j) * NB;
         float* drow = &D[static_cast<size_t>(j) * NB];
-        for (int p = 0; p < NB; ++p) drow[p] = dprow[p] * act_grad(prow[p]);
+        for (int p = 0; p < NB; ++p) drow[p] = dprow[p] * srow[p];
       }
     }
     for (int p = 0; p < nb; ++p)
