@@ -26,6 +26,16 @@ def save_for_native(out_dir: str, model, params, onnx: bool = True) -> dict:
         paths["onnx"] = save_as_onnx(
             os.path.join(out_dir, "model.onnx"), model, params
         )
+        # structural (ORT-load-strictness) lint: a model.onnx that would be
+        # rejected by Ort::Session must never leave the exporter
+        from .onnx_lint import lint_onnx
+
+        problems = lint_onnx(paths["onnx"])
+        if problems:
+            raise RuntimeError(
+                "exported model.onnx failed the ORT-strictness lint:\n  "
+                + "\n  ".join(problems)
+            )
     return paths
 
 
