@@ -89,7 +89,16 @@ def _load_stl(path: str) -> Mesh:
 def _load_stl_binary(path: str) -> Mesh:
     with open(path, "rb") as f:
         f.seek(80)
-        (n,) = struct.unpack("<I", f.read(4))
+        head = f.read(4)
+        if len(head) < 4:
+            raise ValueError(f"Truncated binary STL header: {path}")
+        (n,) = struct.unpack("<I", head)
+        # validate the declared count against the actual size BEFORE the
+        # read: a lying header (fuzzed n=4e9) must not attempt a 200 GB
+        # buffer allocation
+        avail = os.fstat(f.fileno()).st_size - 84
+        if n * 50 > avail:
+            raise ValueError(f"Truncated binary STL: {path}")
         data = np.frombuffer(f.read(n * 50), dtype=np.uint8)
     if data.size != n * 50:
         raise ValueError(f"Truncated binary STL: {path}")
@@ -143,7 +152,13 @@ def _load_obj(path: str) -> Mesh:
                 idx = [i - 1 if i > 0 else len(verts) + i for i in idx]
                 for k in range(1, len(idx) - 1):  # fan triangulation
                     faces.append([idx[0], idx[k], idx[k + 1]])
-    return Mesh(np.asarray(verts), np.asarray(faces, dtype=np.int64))
+    if not verts:
+        raise ValueError(f"OBJ has no vertices: {path}")
+    # 0 faces is legal (point-only OBJ); reshape keeps the (F, 3) contract
+    return Mesh(
+        np.asarray(verts, dtype=np.float64),
+        np.asarray(faces, dtype=np.int64).reshape(-1, 3),
+    )
 
 
 def _save_obj(mesh: Mesh, path: str) -> None:
@@ -259,11 +274,42 @@ _LOADERS = {".stl": _load_stl, ".obj": _load_obj, ".ply": _load_ply}
 _SAVERS = {".stl": _save_stl, ".obj": _save_obj, ".ply": _save_ply}
 
 
+def _check_loaded(mesh: Mesh, path: str) -> Mesh:
+    """Invariants every successful load must satisfy (the role trimesh's
+    validation played at reference data_generator.py:828): arrays are
+    (V,3)/(F,3), coordinates finite, face indices in range. Violations are
+    data errors -> ValueError, so callers (e.g. the distributed sampler's
+    corrupt-mesh skip) can handle them uniformly."""
+    if mesh.vertices.ndim != 2 or mesh.vertices.shape[1] != 3:
+        raise ValueError(f"Malformed mesh {path}: vertex array is not (V, 3)")
+    if mesh.faces.ndim != 2 or mesh.faces.shape[1] != 3:
+        raise ValueError(f"Malformed mesh {path}: face array is not (F, 3)")
+    if mesh.vertices.size and not np.isfinite(mesh.vertices).all():
+        raise ValueError(f"Malformed mesh {path}: non-finite vertex coordinates")
+    if len(mesh.faces):
+        lo, hi = mesh.faces.min(), mesh.faces.max()
+        if lo < 0 or hi >= len(mesh.vertices):
+            raise ValueError(
+                f"Malformed mesh {path}: face index {lo if lo < 0 else hi} "
+                f"out of range for {len(mesh.vertices)} vertices"
+            )
+    return mesh
+
+
 def load_mesh(path: str) -> Mesh:
     ext = os.path.splitext(path)[1].lower()
     if ext not in _LOADERS:
         raise ValueError(f"Unsupported mesh format '{ext}' ({path})")
-    return _LOADERS[ext](path)
+    try:
+        mesh = _LOADERS[ext](path)
+    except (ValueError, OSError, MemoryError):
+        raise
+    except Exception as exc:
+        # parser stumbles on fuzzed input (struct.error, IndexError, KeyError,
+        # TypeError from ragged rows, ...) are DATA errors: surface them as
+        # ValueError so malformed files never escape as internal exceptions
+        raise ValueError(f"Malformed mesh file {path}: {exc!r}") from exc
+    return _check_loaded(mesh, path)
 
 
 def save_mesh(mesh: Mesh, path: str, file_type: Optional[str] = None) -> None:
