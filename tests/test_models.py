@@ -137,6 +137,53 @@ def test_kan_bspline_partition_of_unity():
     np.testing.assert_allclose(np.asarray(bases.sum(-1)), 1.0, atol=1e-5)
 
 
+def test_kan_bspline_uniform_closed_form_matches_recursion():
+    """The closed-form cardinal-B-spline fast path must reproduce the
+    Cox-de Boor recursion on the default uniform grid — including points
+    outside the domain, on the boundaries, and exactly on interior knots —
+    for every supported order."""
+    from sdf_representation_tpu.models.kan import (
+        KANLayerSpec,
+        b_splines,
+        b_splines_uniform,
+    )
+
+    rng = np.random.default_rng(0)
+    for k in (1, 2, 3):
+        for G in (5, 8, 256):
+            spec = KANLayerSpec(
+                in_features=3, out_features=4, grid_size=G, spline_order=k
+            )
+            grid = spec.default_grid()
+            x = rng.uniform(-1.3, 1.3, (129, 3)).astype(np.float32)
+            x[0, :] = -1.0
+            x[1, :] = 1.0
+            x[2, :] = float(grid[0, k + 1])  # exactly on a knot
+            a = np.asarray(b_splines(jnp.asarray(x), grid, k))
+            b = np.asarray(
+                b_splines_uniform(jnp.asarray(x), -1.0, 2.0 / G, G + k, k)
+            )
+            assert a.shape == b.shape
+            np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_kan_apply_adaptive_marker_dispatch():
+    """After update_grid the params carry the adaptive-grid marker and apply
+    must follow the (non-uniform) stored knots, not the static default grid."""
+    from sdf_representation_tpu.models.kan import KAN
+
+    m = KAN(layers_hidden=(3, 8, 1), grid_size=8)
+    params = m.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(
+        jax.random.PRNGKey(1), (64, 3), minval=-0.5, maxval=0.5
+    )
+    params2 = m.update_grid(params, x)
+    assert all("adaptive_grid" in p for p in params2["layers"])
+    # jit recompiles on the new structure and still produces finite output
+    out = jax.jit(m.apply)(params2, x)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
 def test_kan_update_grid_preserves_function():
     m = KAN(layers_hidden=(3, 8, 1), grid_size=8)
     params = m.init(jax.random.PRNGKey(0))
