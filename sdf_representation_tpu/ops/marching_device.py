@@ -4,35 +4,41 @@ Replaces the round-2 hybrid (device shell compaction + host tet core) for
 device volumes. The reference extracts meshes on host via
 skimage.measure.marching_cubes (reference executor/executor.py:388); at
 512^3 the host core dominated the whole field->mesh pipeline (3.6 s healthy
-vs 0.91 s for the sparse eval). A first full-volume device version was
-correct but compaction-bound: profiled on the v5e, XLA scatter moves ~200M
-elements/s and nonzero is similar, so its 7x n^3 vertex scatters plus
-full-volume nonzeros cost ~26 s at 512^3 while the masks and cumsums were
-free (0.03 s at 256^3).
+vs 0.91 s for the sparse eval).
 
-This version therefore never runs a compaction over the full volume. The
-surface only touches O(n^2) of the n^3 cells, and the volume is partitioned
-into 8^3-point core blocks (the same blocking as ops/sparse_grid):
+The design is shaped by one measured number: on the v5e, XLA issues random
+gather/scatter ELEMENTS at ~110 M/s regardless of index locality (72 M/s
+from >0.5 GB tables), while dense element-wise passes stream at HBM
+bandwidth. The first device version spent 4.1 s at 512^3 almost entirely on
+(a) a 132 M-candidate welding scatter, (b) ~130 M emission-stage gather
+elements, and (c) a 27 M-element halo gather. Every stage below is therefore
+organised to minimise TOTAL gather/scatter elements, not FLOPs or bytes:
 
-  1. LIVE-BLOCK DETECTION (full volume, bandwidth-only ops): a block is
-     live iff its 9^3 corner region (core + 1-point halo) contains both
-     signs — computed from per-core any/all reductions OR-ed with the 7
-     +neighbours (a superset of the exact region straddle, never a miss).
-     nonzero over the (n/8)^3 block mask is tiny.
-  2. GATHER: live blocks fetch their 9^3 corner values as (b_max, 729)
-     rows. ALL later stages operate on these compacted rows, so every
-     prefix sum, scatter and nonzero shrinks by the inactive-block factor
-     (~20x at 512^3).
-  3. SORT-FREE WELDING (same key idea as before, now block-local): every
-     tet edge of the 6-tet decomposition connects g and g+d for one of 7
-     ascending directions d; the pair (lo grid point, d) is a globally
-     unique vertex id, OWNED by the live block whose core contains lo (the
-     straddle proof guarantees the owner is live). Vertex index =
-     block offset + in-block rank from an int32 row cumsum.
-  4. EMISSION: mixed cubes are compacted (prefix + one scatter), then each
-     triangle's three (lo corner, d) edges resolve their vertex index by
-     gathering the owner block's prefix row — including halo-corner edges
-     owned by a +neighbour, via an inverse block-id map.
+  1. LIVE-BLOCK DETECTION (full volume, bandwidth-only ops): the volume is
+     partitioned into 8^3-point core blocks; a block is live iff its 9^3
+     corner region (core + 1-point halo) contains both signs — per-core
+     any/all reductions OR-ed with the 7 +neighbours (a superset of the
+     exact straddle, never a miss).
+  2. HALO GATHER, dense-blocked: instead of 27 M element gathers, build the
+     overlapped (nb^3, 9^3) block tensor with three pad+reshape+concat
+     passes (pure bandwidth) and fetch live blocks with contiguous ROW
+     gathers (measured 5x over the element-gather form).
+  3. PER-CORE EDGE BITMASKS: every tet edge of the 6-tet decomposition
+     connects g and g+d for one of 7 ascending directions d; the pair
+     (lo grid point, d) is a globally unique vertex id OWNED by the live
+     block whose core contains lo. Each core's 7 live-edge bits live in one
+     int32 next to the core's global vertex base:  CW = cvbase << 7 | bits.
+     One gather of CW answers "vertex index of edge (lo, d)" for both the
+     welding AND the face emission (base + popcount of the bits below d).
+  4. COMPACTION by scatter only where the candidate space is small (live
+     cores: 8 candidates/block-point -> 19 M; mixed cubes: 19 M), and by
+     SEGMENT EXPANSION everywhere else: vertices and triangles are
+     enumerated by scattering each segment's start (c_max / m_max elements,
+     unique and sorted) and running a 1-D cummax over the output — O(out)
+     instead of O(candidates). The 132 M-element vertex scatter is gone.
+  5. EMISSION: ~10 gather elements per triangle (cube record, packed
+     per-(tet,case,k) edge table, block id, and 2 per edge: inverse block
+     map + CW), everything else element-wise decode.
 
 Host receives packed vertices (slot = gid*7 + d, t) and faces, unpacks
 positions with three vector ops, and writes the STL.
@@ -57,8 +63,8 @@ from .marching import _CASE_TRIS, _CORNERS, _FLIP_TABLE, _TET_EDGES, _TETS
 # inclusive-rank prefix minus one, which is NON-DECREASING across the whole
 # flattened array, so the scatter can declare indices_are_sorted=True; dead
 # entries write -1 at their predecessor's slot and lose the max() to the
-# live writer. An arbitrary-index .at[].set() over the same ~100M-entry
-# index space forces XLA's serialized scatter path.
+# live writer. An arbitrary-index .at[].set() over the same index space
+# forces XLA's serialized scatter path.
 _SORTED_SCATTER = os.environ.get("MARCH_SORTED_SCATTER", "1") != "0"
 
 # the 7 ascending edge directions; direction index = corner-bit pattern - 1
@@ -69,52 +75,36 @@ _B = 8  # core block edge (points); halo region is (B+1)^3
 
 
 def _build_static_tables():
-    """Dense tables over flattened (tet*32 + case*2 + k):
-
-    - ntris (16,): triangles per case
-    - lo_corner (192, 3): cube-corner id of each tri edge's low endpoint
-    - dir_idx (192, 3): direction index of each tri edge
-    - flip (192,): orientation flip flag (from marching._FLIP_TABLE)
-
-    lo corner = a & b and direction = (a ^ b) - 1 hold because corner ids
-    are bit-packed coordinates and all decomposition edges ascend.
-    """
+    """ntris (16,) triangles per case, and a PACKED per-(tet, case, k) edge
+    table (192,) int32: bits [6j .. 6j+2] = cube-corner id of edge j's low
+    endpoint, bits [6j+3 .. 6j+5] = direction index, bit 18 = orientation
+    flip (from marching._FLIP_TABLE). lo corner = a & b and direction =
+    (a ^ b) - 1 hold because corner ids are bit-packed coordinates and all
+    decomposition edges ascend. One gather decodes a whole triangle."""
     ntris = np.zeros(16, np.int32)
     for case_id, tris in _CASE_TRIS.items():
         ntris[case_id] = len(tris)
-    lo_corner = np.zeros((6, 16, 2, 3), np.int32)
-    dir_idx = np.zeros((6, 16, 2, 3), np.int32)
+    ptbl = np.zeros((6, 16, 2), np.int64)
     for tet in range(6):
         for case_id, tris in _CASE_TRIS.items():
             for k, tri in enumerate(tris):
+                packed = 0
                 for j, e in enumerate(tri):
                     a = _TETS[tet][_TET_EDGES[e][0]]
                     b = _TETS[tet][_TET_EDGES[e][1]]
-                    lo_corner[tet, case_id, k, j] = a & b
-                    dir_idx[tet, case_id, k, j] = (a ^ b) - 1
-    return (
-        ntris,
-        lo_corner.reshape(192, 3),
-        dir_idx.reshape(192, 3),
-        _FLIP_TABLE.reshape(192).copy(),
-    )
+                    lo = int(a & b)
+                    d = int(a ^ b) - 1
+                    packed |= lo << (6 * j)
+                    packed |= d << (6 * j + 3)
+                if _FLIP_TABLE[tet, case_id, k]:
+                    packed |= 1 << 18
+                ptbl[tet, case_id, k] = packed
+    return ntris, ptbl.reshape(192).astype(np.int32)
 
 
-_NTRIS_NP, _LO_CORNER_NP, _DIR_IDX_NP, _FLIP_NP = _build_static_tables()
+_NTRIS_NP, _PTBL_NP = _build_static_tables()
 
-# block-local static index tables (all flat into the 9^3 = 729 halo region)
 _H = _B + 1
-_LI, _LJ, _LK = np.meshgrid(
-    np.arange(_B), np.arange(_B), np.arange(_B), indexing="ij"
-)
-_LI, _LJ, _LK = _LI.ravel(), _LJ.ravel(), _LK.ravel()  # (512,) core coords
-_CORE_FLAT = (_LI * _H + _LJ) * _H + _LK  # (512,) core -> halo-region flat
-_HI_FLAT = np.stack(
-    [((_LI + dx) * _H + (_LJ + dy)) * _H + (_LK + dz) for dx, dy, dz in _DIRS]
-)  # (7, 512)
-_CORNER_FLAT = np.stack(
-    [((_LI + dx) * _H + (_LJ + dy)) * _H + (_LK + dz) for dx, dy, dz in _CORNERS]
-)  # (8, 512) cube-corner lookup per core cube base
 
 _MARCH_DEVICE = None
 
@@ -130,22 +120,89 @@ def _get_march_device():
     import jax.numpy as jnp
 
     ntris_t = jnp.asarray(_NTRIS_NP)
-    # per-column (192,) tables: (N, 3) int32 tensors tile to (8, 128) on
-    # TPU — a 42x padding blow-up. Emission stays strictly 1-D per column.
-    lo_corner_cols = [jnp.asarray(_LO_CORNER_NP[:, j]) for j in range(3)]
-    dir_idx_cols = [jnp.asarray(_DIR_IDX_NP[:, j]) for j in range(3)]
-    flip_t = jnp.asarray(_FLIP_NP)
+    ptbl_t = jnp.asarray(_PTBL_NP)
 
-    def _prefix_rows(x_bool):
-        """Exact inclusive prefix along the last axis of a (R, C) {0,1}
-        array. Plain int32 cumsum: bandwidth-bound (~2 passes over the
-        array). The MXU ones-triangle variant used in round 2 cost 60 GFLOP
-        of HIGHEST-precision f32 matmul at 512^3 budgets and measured
-        ~40% of the whole extraction; the cumsum is ~free by comparison."""
-        return jnp.cumsum(x_bool.astype(jnp.int32), axis=-1)
+    # static per-core index tables into the 9^3 halo region; core-major
+    # flat order lflat = (li*8 + lj)*8 + lk matches every div/mod decode
+    li, lj, lk = np.meshgrid(
+        np.arange(_B), np.arange(_B), np.arange(_B), indexing="ij"
+    )
+    li, lj, lk = li.ravel(), lj.ravel(), lk.ravel()
+    core_flat = (li * _H + lj) * _H + lk  # (512,) core -> halo-region flat
+    hi_flat = np.stack(
+        [((li + dx) * _H + (lj + dy)) * _H + (lk + dz) for dx, dy, dz in _DIRS]
+    )  # (7, 512)
+    corner_flat = np.stack(
+        [((li + dx) * _H + (lj + dy)) * _H + (lk + dz) for dx, dy, dz in _CORNERS]
+    )  # (8, 512) cube-corner lookup per core cube base
 
-    @partial(jax.jit, static_argnames=("b_max", "m_max", "v_max", "t_max"))
-    def _march(vol, level, b_max, m_max, v_max, t_max):
+    def _blockify(a, axis, nfull):
+        """Axis of extent nfull+1 -> (nfull//B, B+1) overlapped blocks via
+        reshape + strided edge plane (bandwidth-only, no gathers)."""
+        nb = nfull // _B
+        sl = [slice(None)] * a.ndim
+        sl[axis] = slice(0, nfull)
+        core = a[tuple(sl)]
+        shp = list(core.shape)
+        shp[axis : axis + 1] = [nb, _B]
+        core = core.reshape(shp)
+        sl2 = [slice(None)] * a.ndim
+        sl2[axis] = slice(_B, None, _B)
+        edge = a[tuple(sl2)]
+        shp2 = list(edge.shape)
+        shp2[axis : axis + 1] = [nb, 1]
+        edge = edge.reshape(shp2)
+        return jnp.concatenate([core, edge], axis=axis + 1)
+
+    def _popcount7(x):
+        """Popcount of a 7-bit int32 field, element-wise."""
+        c = x & 1
+        for b in range(1, 7):
+            c = c + ((x >> b) & 1)
+        return c
+
+    def _compact(mask_flat, src_flat, out_max):
+        """Scatter-compact src values of set mask entries, in order.
+        Returns (compacted (out_max,), count). Input-sized (the expensive
+        direction) — only used where the candidate space is already small."""
+        pi = jnp.cumsum(mask_flat.astype(jnp.int32))
+        count = pi[-1]
+        if _SORTED_SCATTER:
+            tgt = pi - 1
+            src = jnp.where(mask_flat, src_flat, -1)
+            out = (
+                jnp.zeros((out_max,), jnp.int32)
+                .at[tgt]
+                .max(src, mode="drop", indices_are_sorted=True)
+            )
+        else:
+            tgt = jnp.where(mask_flat, pi - 1, out_max)
+            out = (
+                jnp.zeros((out_max,), jnp.int32)
+                .at[tgt]
+                .set(src_flat, mode="drop")
+            )
+        return out, count
+
+    def _expand(starts, values, mask, out_max):
+        """Segment expansion: out[i] = values[s] for the last segment s with
+        starts[s] <= i. starts must be strictly increasing over kept (mask)
+        entries and values non-decreasing. O(len(starts) + out_max) — this
+        replaces candidate-space scatters for vertex/triangle enumeration."""
+        idx = jnp.where(mask, starts, out_max)
+        seeded = (
+            jnp.zeros((out_max,), jnp.int32)
+            .at[idx]
+            .set(values, mode="drop", indices_are_sorted=_SORTED_SCATTER,
+                 unique_indices=_SORTED_SCATTER)
+        )
+        return jax.lax.cummax(seeded)
+
+    @partial(
+        jax.jit,
+        static_argnames=("b_max", "c_max", "m_max", "v_max", "t_max"),
+    )
+    def _march(vol, level, b_max, c_max, m_max, v_max, t_max):
         nx, ny, nz = vol.shape
         nbx, nby, nbz = -(-nx // _B), -(-ny // _B), -(-nz // _B)
         nb3 = nbx * nby * nbz
@@ -186,200 +243,172 @@ def _get_march_device():
             .set(jnp.arange(b_max, dtype=jnp.int32), mode="drop")[:nb3]
         )
 
-        # ---- 2. gather 9^3 halo regions as (b_max, 729) rows -------------
-        o = np.arange(_H * _H * _H, dtype=np.int32)
-        oi, oj, ok = o // (_H * _H), (o // _H) % _H, o % _H
-        gx = jnp.minimum(gx0[:, None] + oi[None, :], nx - 1)
-        gy = jnp.minimum(gy0[:, None] + oj[None, :], ny - 1)
-        gz = jnp.minimum(gz0[:, None] + ok[None, :], nz - 1)
-        volg = f[(gx * ny + gy) * nz + gz]  # (b_max, 729) f32
+        # ---- 2. dense-blocked halo tensor + contiguous row gather --------
+        # pad the ragged tail with edge values (same values the old
+        # min(coord, n-1) element-gather clamped to), then +1 edge plane
+        vp = jnp.pad(vol, ((0, px + 1), (0, py + 1), (0, pz + 1)), mode="edge")
+        blk = _blockify(vp, 0, nbx * _B)  # (nbx, 9, ny+1, nz+1)
+        blk = _blockify(blk, 2, nby * _B)  # (nbx, 9, nby, 9, nz+1)
+        blk = _blockify(blk, 4, nbz * _B)  # (nbx, 9, nby, 9, nbz, 9)
+        dense = jnp.transpose(blk, (0, 2, 4, 1, 3, 5)).reshape(
+            nb3, _H * _H * _H
+        )
+        volg = dense[jnp.minimum(bids, nb3 - 1)]  # (b_max, 729) row gather
         sgb = volg <= level
 
-        # ---- 3. live edges + sort-free welding ---------------------------
-        s_lo = sgb[:, _CORE_FLAT]  # (b_max, 512)
-        # per-direction live + in-bounds masks, d-major slot = d*512 + lflat
-        live_cols = []
+        # ---- 3. per-core live-edge bitmasks + packed CW ------------------
+        s_lo = sgb[:, core_flat]  # (b_max, 512)
+        Lbits = jnp.zeros(s_lo.shape, jnp.int32)
         for d, (dx, dy, dz) in enumerate(_DIRS):
-            ld = s_lo != sgb[:, _HI_FLAT[d]]
+            ld = s_lo != sgb[:, hi_flat[d]]
             ok_d = (
-                (gx0[:, None] + (_LI + dx)[None, :] <= nx - 1)
-                & (gy0[:, None] + (_LJ + dy)[None, :] <= ny - 1)
-                & (gz0[:, None] + (_LK + dz)[None, :] <= nz - 1)
+                (gx0[:, None] + (li + dx)[None, :] <= nx - 1)
+                & (gy0[:, None] + (lj + dy)[None, :] <= ny - 1)
+                & (gz0[:, None] + (lk + dz)[None, :] <= nz - 1)
             )
-            live_cols.append(ld & ok_d & live_row[:, None])
-        L = jnp.concatenate(live_cols, axis=1)  # (b_max, 3584)
-        P = _prefix_rows(L)  # inclusive in-block ranks
-        vcount = P[:, -1]  # (b_max,)
-        voff = jnp.cumsum(vcount) - vcount
-        count_v = jnp.sum(vcount)
-        ex = P - L  # exclusive ranks (b_max, 3584)
+            Lbits = Lbits | jnp.where(
+                ld & ok_d & live_row[:, None], jnp.int32(1 << d), 0
+            )
+        ncf = _popcount7(Lbits).reshape(-1)  # (b_max*512,)
+        excg = jnp.cumsum(ncf)  # global inclusive vertex prefix (core-major)
+        count_v = excg[-1]
+        cvbase = excg - ncf  # exclusive global vertex base per core
+        # packed core word; cvbase < v_max <= 2^23 (grids are capped at
+        # ~645^3 by the int32 slot space), bits fit in the low 7
+        CWf = (cvbase << 7) | Lbits.reshape(-1)  # (b_max*512,) int32
 
-        # global vertex slot encoding gid*7 + d (decode_vertices contract)
-        gid_lo = (
-            (gx0[:, None] + _LI[None, :]) * ny + gy0[:, None] + _LJ[None, :]
-        ) * nz + gz0[:, None] + _LK[None, :]  # (b_max, 512) int32
-        slot_cols = [gid_lo * 7 + d for d in range(7)]
-        slots = jnp.concatenate(slot_cols, axis=1)  # (b_max, 3584)
-        if _SORTED_SCATTER:
-            tgt = voff[:, None] + P - 1  # non-decreasing globally
-            src = jnp.where(L, slots, -1)
-            vslots = (
-                jnp.zeros((v_max,), jnp.int32)
-                .at[tgt.reshape(-1)]
-                .max(src.reshape(-1), mode="drop", indices_are_sorted=True)
-            )
-        else:
-            tgt = jnp.where(L, voff[:, None] + ex, v_max)
-            vslots = (
-                jnp.zeros((v_max,), jnp.int32)
-                .at[tgt.reshape(-1)]
-                .set(slots.reshape(-1), mode="drop")
-            )
+        # ---- 4. live-core compaction (19M-candidate scatter) -------------
+        corelive = (Lbits > 0).reshape(-1)
+        nflat = b_max * 512
+        crec, count_c = _compact(
+            corelive, jnp.arange(nflat, dtype=jnp.int32), c_max
+        )
+        clive = jnp.arange(c_max, dtype=jnp.int32) < count_c
 
-        # vertex interpolation parameter straight from the volume (gather,
-        # not a second scatter)
-        vgid = vslots // 7
-        vd = vslots % 7
+        # ---- 5. vertices via segment expansion ---------------------------
+        cw_c = CWf[crec]  # (c_max,)
+        vrow = _expand(cw_c >> 7, crec, clive, v_max)  # per-vertex core flat
+        cw_v = CWf[vrow]
+        base_v = cw_v >> 7
+        bits_v = cw_v & 127
+        r_v = jnp.arange(v_max, dtype=jnp.int32) - base_v  # rank within core
+        # d of the (r_v+1)-th set bit (element-wise unrolled scan)
+        cnt = jnp.zeros((v_max,), jnp.int32)
+        d_v = jnp.zeros((v_max,), jnp.int32)
+        for d in range(7):
+            bit = (bits_v >> d) & 1
+            cnt = cnt + bit
+            d_v = jnp.where((bit == 1) & (cnt == r_v + 1), d, d_v)
+        row_v = vrow // 512
+        lflat_v = vrow % 512
+        bid_v = bids[row_v]
+        gxv = (bid_v // (nby * nbz)) * _B + lflat_v // 64
+        gyv = ((bid_v // nbz) % nby) * _B + (lflat_v // 8) % 8
+        gzv = (bid_v % nbz) * _B + lflat_v % 8
+        gid_v = (gxv * ny + gyv) * nz + gzv
+        vslots = gid_v * 7 + d_v
         strides = jnp.asarray(
             [(dx * ny + dy) * nz + dz for dx, dy, dz in _DIRS], jnp.int32
         )
-        va = f[vgid]
-        vb = f[jnp.minimum(vgid + strides[vd], nx * ny * nz - 1)]
+        va = f[gid_v]
+        vb = f[jnp.minimum(gid_v + strides[d_v], nx * ny * nz - 1)]
         denom = vb - va
         t = jnp.where(denom != 0, (level - va) / denom, jnp.float32(0.5))
         t = jnp.clip(t, 0.0, 1.0).astype(jnp.float32)
 
-        # ---- 4a. per-tet cases + mixed-cube compaction -------------------
+        # ---- 6. mixed cubes ----------------------------------------------
         cube_ok = (
-            (gx0[:, None] + _LI[None, :] <= nx - 2)
-            & (gy0[:, None] + _LJ[None, :] <= ny - 2)
-            & (gz0[:, None] + _LK[None, :] <= nz - 2)
+            (gx0[:, None] + li[None, :] <= nx - 2)
+            & (gy0[:, None] + lj[None, :] <= ny - 2)
+            & (gz0[:, None] + lk[None, :] <= nz - 2)
             & live_row[:, None]
         )  # (b_max, 512) valid cube bases
-        inside_corner = [sgb[:, _CORNER_FLAT[c]] for c in range(8)]
-        case_tets = []  # 6 x (b_max, 512) int32
-        ntr_tets = []
-        ntr_total = None
+        inside_corner = [sgb[:, corner_flat[c]] for c in range(8)]
+        casepack = jnp.zeros(s_lo.shape, jnp.int32)
         for tet in range(6):
             cs = None
             for bit, corner in enumerate(_TETS[tet]):
                 term = inside_corner[int(corner)].astype(jnp.int32) << bit
                 cs = term if cs is None else cs + term
-            case_tets.append(cs)
-            ntr = jnp.where(cube_ok, ntris_t[cs], 0)
-            ntr_tets.append(ntr)
-            ntr_total = ntr if ntr_total is None else ntr_total + ntr
-        count_t = jnp.sum(ntr_total)
-        mixed = ntr_total > 0
-        Pm = _prefix_rows(mixed)
-        mcnt = Pm[:, -1]
-        moff = jnp.cumsum(mcnt) - mcnt
-        count_m = jnp.sum(mcnt)
-        lflat = jnp.broadcast_to(
-            jnp.arange(512, dtype=jnp.int32)[None, :], mixed.shape
-        )
-        row_id = jnp.broadcast_to(
-            jnp.arange(mixed.shape[0], dtype=jnp.int32)[:, None], mixed.shape
-        )
-        if _SORTED_SCATTER:
-            tgt_m = moff[:, None] + Pm - 1
-            src_m = jnp.where(mixed, row_id * 512 + lflat, -1)
-            mrec = (
-                jnp.zeros((m_max,), jnp.int32)
-                .at[tgt_m.reshape(-1)]
-                .max(src_m.reshape(-1), mode="drop", indices_are_sorted=True)
-            )
-        else:
-            tgt_m = jnp.where(mixed, moff[:, None] + Pm - mixed, m_max)
-            mrec = (
-                jnp.zeros((m_max,), jnp.int32)
-                .at[tgt_m.reshape(-1)]
-                .set((row_id * 512 + lflat).reshape(-1), mode="drop")
-            )  # packed (live row, local cube) per mixed cube
-        mlive = jnp.arange(m_max, dtype=jnp.int32) < count_m
-
-        # ---- 4b. triangle-slot compaction over mixed cubes ---------------
-        # 12 columns x m_max (column-major 1-D concat): slot (tet, k)
-        mb = mrec // 512
-        ml = mrec % 512
-        ntr_flat = [nt.reshape(-1) for nt in ntr_tets]  # (b_max*512,)
-        valid_cols = []
+            casepack = casepack | (cs << (4 * tet))
+        ntr_total = None
         for tet in range(6):
-            nt_m = jnp.where(mlive, ntr_flat[tet][mrec], 0)
-            valid_cols.append(nt_m > 0)
-            valid_cols.append(nt_m > 1)
-        valid = jnp.concatenate(valid_cols)  # (12 * m_max,)
-        vi = valid.astype(jnp.int32)
-        cums = jnp.cumsum(vi)  # 12*m_max 1-D cumsum: cheap on TPU
-        if _SORTED_SCATTER:
-            tgt_t = cums - 1
-            src_t = jnp.where(
-                valid, jnp.arange(12 * m_max, dtype=jnp.int32), -1
-            )
-            tids = (
-                jnp.zeros((t_max,), jnp.int32)
-                .at[tgt_t]
-                .max(src_t, mode="drop", indices_are_sorted=True)
-            )
-        else:
-            ranks = cums - vi
-            tgt_t = jnp.where(valid, ranks, t_max)
-            tids = (
-                jnp.zeros((t_max,), jnp.int32)
-                .at[tgt_t]
-                .set(jnp.arange(12 * m_max, dtype=jnp.int32), mode="drop")
-            )
+            ntr = ntris_t[(casepack >> (4 * tet)) & 15]
+            ntr_total = ntr if ntr_total is None else ntr_total + ntr
+        ntr_flat = jnp.where(cube_ok, ntr_total, 0).reshape(-1)
+        count_t = jnp.sum(ntr_flat)
+        troff_flat = jnp.cumsum(ntr_flat) - ntr_flat
+        mrec, count_m = _compact(
+            ntr_flat > 0, jnp.arange(nflat, dtype=jnp.int32), m_max
+        )
+        mlive = jnp.arange(m_max, dtype=jnp.int32) < count_m
+        troff_m = troff_flat[mrec]
+        cases_m = casepack.reshape(-1)[mrec]
 
-        # ---- 5. emission on compacted triangles --------------------------
-        a_i = tids % m_max  # mixed-cube row
-        col = tids // m_max
-        tet = col // 2
-        k = col % 2
-        mb_t = mb[a_i]  # live-block row
-        ml_t = ml[a_i]  # local cube flat (8^3)
-        case_flat = jnp.concatenate([c.reshape(-1) for c in case_tets])
-        case_t = case_flat[tet * (mixed.shape[0] * 512) + mrec[a_i]]
-        tbl = (tet * 16 + case_t) * 2 + k  # flattened (tet, case, k)
+        # ---- 7. triangles via segment expansion --------------------------
+        trow = _expand(troff_m, jnp.arange(m_max, dtype=jnp.int32), mlive,
+                       t_max)  # per-triangle mixed-cube row
+        troff_t = _expand(troff_m, troff_m, mlive, t_max)
+        rtri = jnp.arange(t_max, dtype=jnp.int32) - troff_t  # rank in cube
+        rec_t = mrec[trow]
+        cases_t = cases_m[trow]
+        # decode (tet, k) from the within-cube rank via running counts
+        low = jnp.zeros((t_max,), jnp.int32)
+        tet_t = jnp.zeros((t_max,), jnp.int32)
+        k_t = jnp.zeros((t_max,), jnp.int32)
+        for tet in range(6):
+            nt = ntris_t[(cases_t >> (4 * tet)) & 15]
+            hit = (rtri >= low) & (rtri < low + nt)
+            tet_t = jnp.where(hit, tet, tet_t)
+            k_t = jnp.where(hit, rtri - low, k_t)
+            low = low + nt
+        case_t = (cases_t >> (4 * tet_t)) & 15
+        pt = ptbl_t[(tet_t * 16 + case_t) * 2 + k_t]
 
-        # owner lookup ingredients
-        lx_t, ly_t, lz_t = ml_t // 64, (ml_t // 8) % 8, ml_t % 8
-        bx_t, by_t, bz_t = bx[mb_t], by[mb_t], bz[mb_t]
-        ex_flat = ex.reshape(-1)  # (b_max * 3584,)
+        # ---- 8. emission: resolve the 3 edge vertices --------------------
+        row_t = rec_t // 512
+        lcube = rec_t % 512
+        bid_t = bids[row_t]
+        bx_t = bid_t // (nby * nbz)
+        by_t = (bid_t // nbz) % nby
+        bz_t = bid_t % nbz
+        lx_t, ly_t, lz_t = lcube // 64, (lcube // 8) % 8, lcube % 8
         cols = []
-        for j in range(3):  # strictly 1-D per edge column (table note above)
-            lo_c = lo_corner_cols[j][tbl]  # cube-corner id 0..7
-            d_e = dir_idx_cols[j][tbl]
+        for j in range(3):
+            lo_c = (pt >> (6 * j)) & 7  # cube-corner id 0..7
+            d_e = (pt >> (6 * j + 3)) & 7
             cx, cy, cz = lo_c >> 2, (lo_c >> 1) & 1, lo_c & 1
             lxe, lye, lze = lx_t + cx, ly_t + cy, lz_t + cz  # 0..8
             obx = bx_t + (lxe >> 3)
             oby = by_t + (lye >> 3)
             obz = bz_t + (lze >> 3)
             owner = inv_block[(obx * nby + oby) * nbz + obz]
-            lslot = (
-                d_e * 512 + ((lxe & 7) * 8 + (lye & 7)) * 8 + (lze & 7)
-            )
-            cols.append(voff[owner] + ex_flat[owner * 3584 + lslot])
-        flips = flip_t[tbl]
-        f0 = jnp.where(flips, cols[2], cols[0])
-        f2 = jnp.where(flips, cols[0], cols[2])
+            lslot = ((lxe & 7) * 8 + (lye & 7)) * 8 + (lze & 7)
+            cwe = CWf[owner * 512 + lslot]
+            rank = _popcount7((cwe & 127) & ((jnp.int32(1) << d_e) - 1))
+            cols.append((cwe >> 7) + rank)
+        flips = (pt >> 18) & 1
+        f0 = jnp.where(flips == 1, cols[2], cols[0])
+        f2 = jnp.where(flips == 1, cols[0], cols[2])
         return (
-            vslots, t, f0, cols[1], f2, count_b, count_m, count_v, count_t,
+            vslots, t, f0, cols[1], f2,
+            count_b, count_c, count_m, count_v, count_t,
         )
 
     _MARCH_DEVICE = _march
     return _MARCH_DEVICE
 
 
-# settled (b_max, m_max, v_max, t_max) budgets per volume shape — same
-# recompile-bounding trick as ops/sparse_grid._KMAX_CACHE
+# settled (b_max, c_max, m_max, v_max, t_max) budgets per volume shape —
+# same recompile-bounding trick as ops/sparse_grid._KMAX_CACHE
 _BUDGET_CACHE: dict = {}
 
 
 def _quantize(x: int, q: int = 4096) -> int:
-    """Round up to a coarse quantum: keeps budget growth at ~1.25x (every
-    (b_max, 3584) pass and every scatter scales LINEARLY with the budget,
-    so pow2 doubling wasted up to 2x of the whole extraction) while still
-    bounding the number of distinct compiled shapes."""
+    """Round up to a coarse quantum: keeps budget growth at ~1.25x (the
+    compaction scatters and the v/t-length scans scale LINEARLY with the
+    budget, so pow2 doubling wasted up to 2x of the whole extraction) while
+    still bounding the number of distinct compiled shapes."""
     return -(-int(x) // q) * q
 
 
@@ -397,17 +426,19 @@ def marching_tets_device(vol, level: float = 0.0):
         raise ValueError(
             f"grid {vol.shape} exceeds the int32 slot space (max ~645^3)"
         )
-    nb3 = (-(-nx // _B)) * (-(-ny // _B)) * (-(-nz // _B))
+    nbx, nby, nbz = -(-nx // _B), -(-ny // _B), -(-nz // _B)
+    nb3 = nbx * nby * nbz
     key = vol.shape
     # surface heuristics (measured at 512^3 on the random-init flagship:
-    # 33.5k live blocks, mixed cubes ~4.6 n^2, V ~ 13 n^2, T ~ 26 n^2);
-    # slight over-provision avoids a growth recompile on typical fields,
-    # 1.25x quantized growth handles pathological ones
+    # 33.5k live blocks, live cores ~9 n^2, mixed cubes ~4.6 n^2, V ~ 13 n^2,
+    # T ~ 26 n^2); slight over-provision avoids a growth recompile on typical
+    # fields, 1.25x quantized growth handles pathological ones
     m2 = max(nx, ny, nz) ** 2
-    b_max, m_max, v_max, t_max = _BUDGET_CACHE.get(
+    b_max, c_max, m_max, v_max, t_max = _BUDGET_CACHE.get(
         key,
         (
             min(nb3, _quantize(m2 // 8 + 512)),
+            _quantize(11 * m2),
             _quantize(6 * m2),
             _quantize(15 * m2),
             _quantize(29 * m2),
@@ -415,15 +446,22 @@ def marching_tets_device(vol, level: float = 0.0):
     )
     fn = _get_march_device()
     while True:
-        vslots, t, f0, f1, f2, cb, cm, cv, ct = fn(
-            vol, jnp.float32(level), b_max, m_max, v_max, t_max
-        )
-        cb, cm, cv, ct = int(cb), int(cm), int(cv), int(ct)
-        if cb <= b_max and cm <= m_max and cv <= v_max and ct <= t_max:
-            _BUDGET_CACHE[key] = (b_max, m_max, v_max, t_max)
+        out = fn(vol, jnp.float32(level), b_max, c_max, m_max, v_max, t_max)
+        vslots, t, f0, f1, f2 = out[:5]
+        cb, cc, cm, cv, ct = (int(x) for x in out[5:])
+        if (cb <= b_max and cc <= c_max and cm <= m_max and cv <= v_max
+                and ct <= t_max):
+            _BUDGET_CACHE[key] = (b_max, c_max, m_max, v_max, t_max)
             break
         if cb > b_max:
             b_max = min(nb3, _quantize(cb * 1.25))
+        if cc > c_max:
+            c_max = _quantize(cc * 1.25)
+        if cv > 1 << 24:
+            raise ValueError(
+                f"{cv} vertices overflow the packed core-word budget (2^24);"
+                " extract in sub-volumes"
+            )
         if cm > m_max:
             m_max = _quantize(cm * 1.25)
         if cv > v_max:

@@ -165,14 +165,14 @@ def test_device_budget_growth():
     n = 32
     vol = sphere_volume(n)
     md._BUDGET_CACHE.pop((n, n, n), None)
-    md._BUDGET_CACHE[(n, n, n)] = (8, 8, 8, 8)  # absurdly small
+    md._BUDGET_CACHE[(n, n, n)] = (8, 8, 8, 8, 8)  # absurdly small
     spacing = 2.0 / (n - 1)
     vd, fd = marching_cubes(jnp.asarray(vol, jnp.float32), 0.0,
                             (spacing,) * 3, (-1, -1, -1))
     vh, fh = marching_cubes(vol, 0.0, (spacing,) * 3, (-1, -1, -1))
     np.testing.assert_array_equal(_canon_soup(vh, fh), _canon_soup(vd, fd))
     # settled budgets cached for the next call
-    b, m, v, t = md._BUDGET_CACHE[(n, n, n)]
+    b, c, m, v, t = md._BUDGET_CACHE[(n, n, n)]
     assert v >= len(vd) and t >= len(fd)
 
 
