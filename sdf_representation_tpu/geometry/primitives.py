@@ -62,24 +62,26 @@ def make_icosphere(subdivisions: int = 3, radius: float = 0.5) -> Mesh:
         dtype=np.int64,
     )
     for _ in range(subdivisions):
-        edge_mid = {}
-        verts_list = list(verts)
-
-        def midpoint(i, j):
-            key = (min(i, j), max(i, j))
-            if key not in edge_mid:
-                m = verts_list[i] + verts_list[j]
-                m /= np.linalg.norm(m)
-                edge_mid[key] = len(verts_list)
-                verts_list.append(m)
-            return edge_mid[key]
-
-        new_faces = []
-        for a, b, c in faces:
-            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
-            new_faces += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
-        verts = np.asarray(verts_list)
-        faces = np.asarray(new_faces, dtype=np.int64)
+        # vectorized midpoint subdivision (the dict-per-edge loop took
+        # minutes at the 10M+ face scales the labeling benchmarks use)
+        e = faces[:, [0, 1, 1, 2, 2, 0]].reshape(-1, 2)  # (3F, 2) ab|bc|ca
+        e = np.sort(e, axis=1)
+        uniq, inv = np.unique(e, axis=0, return_inverse=True)
+        mids = verts[uniq[:, 0]] + verts[uniq[:, 1]]
+        mids /= np.linalg.norm(mids, axis=1, keepdims=True)
+        mid_idx = (len(verts) + inv).reshape(-1, 3)  # (F, 3) ab, bc, ca
+        a, b, c = faces[:, 0], faces[:, 1], faces[:, 2]
+        ab, bc, ca = mid_idx[:, 0], mid_idx[:, 1], mid_idx[:, 2]
+        faces = np.stack(
+            [
+                np.stack([a, ab, ca], 1),
+                np.stack([b, bc, ab], 1),
+                np.stack([c, ca, bc], 1),
+                np.stack([ab, bc, ca], 1),
+            ],
+            axis=1,
+        ).reshape(-1, 3)
+        verts = np.concatenate([verts, mids])
     return Mesh(verts * radius, faces)
 
 

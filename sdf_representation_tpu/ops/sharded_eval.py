@@ -261,8 +261,8 @@ def sparse_sharded_grid_eval(
     mesh,
     block: int = 8,
     k_max_frac: float = 0.1875,
-    safety: float = 2.0,
-    eps: float = 0.02,
+    safety: float = 1.5,
+    eps: float = 0.01,
     tile_blocks: int = 2,
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,

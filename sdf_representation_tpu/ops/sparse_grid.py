@@ -190,8 +190,8 @@ def sparse_grid_eval(
     n: int,
     block: int = 8,
     k_max_frac: float = 0.1875,
-    safety: float = 2.0,
-    eps: float = 0.02,
+    safety: float = 1.5,
+    eps: float = 0.01,
     tile_blocks: int = 2,
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,

@@ -45,7 +45,7 @@ def test_sparse_matches_dense_on_shell_and_mesh(skip):
     assert 0 < count < nb**3  # genuinely sparse
 
     # every block whose coarse value is under threshold holds EXACT dense vals
-    tau = active_threshold(n, block, safety=2.0, eps=1e-4)
+    tau = active_threshold(n, block, safety=1.5, eps=1e-4)  # the default
     blocked_d = dense.reshape(nb, block, nb, block, nb, block)
     blocked_s = sparse.reshape(nb, block, nb, block, nb, block)
     # recompute coarse mask the same way the evaluator does
