@@ -143,6 +143,39 @@ def test_coarse_upper_bound_is_valid():
     assert np.all(ub >= np.abs(true) - 1e-5)
 
 
+def test_sphere_coarse_bound_is_valid():
+    """The O(C)-per-node sphere variant (used past _COARSE_EXACT_MAX_PAIRS,
+    i.e. 10M+ face meshes) must also be a true upper bound."""
+    from sdf_representation_tpu.ops.sdf_culled import (
+        _chunk_geometry,
+        _coarse_upper_bound_spheres,
+    )
+
+    mesh = make_icosphere(subdivisions=3, radius=0.5)
+    rng = np.random.default_rng(8)
+    pts = rng.uniform(-1, 1, (2000, 3)).astype(np.float32)
+    centers, radii, _, _ = _chunk_geometry(mesh.vertices, mesh.faces, 128)
+    ub = _coarse_upper_bound_spheres(pts, centers, radii)
+    true, _ = signed_distance(pts, mesh)
+    assert np.all(ub >= np.abs(true) - 1e-5)
+
+
+def test_sphere_coarse_bound_distances_stay_exact(monkeypatch):
+    """Force the huge-mesh dispatch branch and check end-to-end distances
+    still match the dense oracle exactly (the bound only loosens culling,
+    never correctness)."""
+    from sdf_representation_tpu.ops import sdf_culled
+
+    monkeypatch.setattr(sdf_culled, "_COARSE_EXACT_MAX_PAIRS", 0.0)
+    mesh = make_icosphere(subdivisions=4, radius=0.6)
+    rng = np.random.default_rng(9)
+    pts = rng.uniform(-1, 1, (2048, 3))
+    ref, _ = signed_distance(pts, mesh, point_chunk=2048, tri_chunk=256)
+    got, _ = signed_distance_culled(pts, mesh, point_chunk=512, tri_chunk=256)
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+    assert np.all(np.sign(got) == np.sign(ref))
+
+
 def test_large_coordinate_scale_exactness():
     """Culling slacks are scene-scale-relative: a mesh with coordinates in
     the thousands must still return exactly the dense-path distances (f32
