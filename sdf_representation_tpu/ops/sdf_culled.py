@@ -549,6 +549,7 @@ def signed_distance_culled(
     on_surface_eps: float = 1e-6,
     return_device: bool = False,
     coarse_bound: Optional[bool] = None,
+    use_pallas: Optional[bool] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact-distance, fast-winding signed distance for large meshes.
 
@@ -558,6 +559,12 @@ def signed_distance_culled(
     only the sign far field uses the dipole approximation, controlled by
     ``beta`` (near-exact threshold; 2.0 is the standard fast-winding-number
     setting and keeps winding error orders below the 2*pi sign margin).
+
+    use_pallas: run the work streams through the fused VMEM kernels
+    (ops/pallas_streams.py) instead of the XLA scans. None = auto: on
+    when the default device is a TPU. The kernels pick identical winning
+    triangles up to genuine last-ulp distance ties (see
+    tests/test_pallas_streams.py).
     """
     if isinstance(mesh_or_vertices, Mesh):
         vertices, faces = mesh_or_vertices.vertices, mesh_or_vertices.faces
@@ -657,8 +664,19 @@ def signed_distance_culled(
 
     db, dc, Sd = _stream_steps(kd, n_blocks)
     wb, wc, Sw = _stream_steps(kw, n_blocks)
-    _, out_best = _dist_stream(P_blocks, db, dc, tables, tri_chunk)
-    out_w = _wind_stream(P_blocks, wb, wc, tables)
+    if use_pallas is None:
+        # TPU-family backends only (the axon relay registers as "axon")
+        use_pallas = jax.default_backend() not in ("cpu", "gpu", "cuda")
+    if use_pallas:
+        from .pallas_streams import dist_stream_pallas, wind_stream_pallas
+
+        _, out_best = dist_stream_pallas(P_blocks_np, db, dc, tables_np,
+                                         tri_chunk)
+        out_w = wind_stream_pallas(P_blocks_np, wb, wc, tables_np,
+                                   tri_chunk)
+    else:
+        _, out_best = _dist_stream(P_blocks, db, dc, tables, tri_chunk)
+        out_w = _wind_stream(P_blocks, wb, wc, tables)
     omega_far = _dipole_all_blocks(P_blocks, jnp.asarray(far_pad), dip)
     best_idx = jnp.clip(out_best[:n_blocks].reshape(-1)[:N], 0, F - 1)
     omega = (out_w[:n_blocks] + omega_far).reshape(-1)[:N]
