@@ -124,14 +124,57 @@ class HashMLP:
         return feat  # (B, F)
 
     def encode(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
+        """Fused-gather encoding: ONE (B*L*8,) gather from the stacked
+        level tables instead of 64 per-level/per-corner gathers (and one
+        scatter-add in the backward instead of 64) — the gathers, not the
+        arithmetic, are the training bottleneck on TPU."""
         x01 = jnp.clip((x + 1.0) * 0.5, 0.0, 1.0)
-        feats = [
-            self._encode_level(t, x01, self.level_resolution(l))
-            for l, t in enumerate(params["tables"])
-        ]
+        B = x.shape[0]
+        T = self.table_size
+        L = self.n_levels
+        F = self.n_features
+        offs = jnp.asarray(
+            [[dx, dy, dz] for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)],
+            jnp.int32,
+        )  # (8, 3)
+        idx_all = []
+        w_all = []
+        for l in range(L):
+            res = self.level_resolution(l)
+            pos = x01 * res
+            p0 = jnp.floor(pos).astype(jnp.int32)
+            frac = pos - p0
+            corner = jnp.clip(p0[:, None, :] + offs[None], 0, res)  # (B,8,3)
+            if (res + 1) ** 3 <= T:
+                ci = (
+                    corner[..., 0] * (res + 1) * (res + 1)
+                    + corner[..., 1] * (res + 1)
+                    + corner[..., 2]
+                )
+            else:
+                cu = corner.astype(jnp.uint32)
+                h = cu[..., 0] * jnp.uint32(_PRIMES[0])
+                h = h ^ (cu[..., 1] * jnp.uint32(_PRIMES[1]))
+                h = h ^ (cu[..., 2] * jnp.uint32(_PRIMES[2]))
+                ci = jnp.remainder(h, jnp.uint32(T)).astype(jnp.int32)
+            idx_all.append(ci + l * T)
+            w = (
+                jnp.where(offs[None, :, 0] == 1, frac[:, None, 0],
+                          1.0 - frac[:, None, 0])
+                * jnp.where(offs[None, :, 1] == 1, frac[:, None, 1],
+                            1.0 - frac[:, None, 1])
+                * jnp.where(offs[None, :, 2] == 1, frac[:, None, 2],
+                            1.0 - frac[:, None, 2])
+            )  # (B, 8)
+            w_all.append(w)
+        idx = jnp.stack(idx_all, axis=1)  # (B, L, 8)
+        w = jnp.stack(w_all, axis=1)  # (B, L, 8)
+        big = jnp.concatenate(params["tables"], axis=0)  # (L*T, F)
+        g = jnp.take(big, idx.reshape(-1), axis=0).reshape(B, L, 8, F)
+        feats = jnp.sum(w[..., None] * g, axis=2).reshape(B, L * F)
         if self.include_xyz:
-            feats.append(x)
-        return jnp.concatenate(feats, axis=-1)
+            feats = jnp.concatenate([feats, x], axis=-1)
+        return feats
 
     def apply(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
         h = self.encode(params, x)

@@ -72,3 +72,23 @@ def test_separable_no_xyz():
     ref = _pointwise(model, params, n)
     out = np.asarray(hash_grid_eval(model, params, n, slab_d=16))
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)
+
+
+def test_fused_encode_matches_per_level():
+    """encode() is a single stacked-table gather; must equal the per-level
+    reference encoder bit-for-bit (same corner-accumulation order)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sdf_representation_tpu.models.hash_mlp import HashMLP
+
+    m = HashMLP()
+    params = m.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2048, 3), minval=-1,
+                           maxval=1)
+    fused = m.encode(params, x)
+    x01 = jnp.clip((x + 1.0) * 0.5, 0.0, 1.0)
+    ref = jnp.concatenate(
+        [m._encode_level(t, x01, m.level_resolution(l))
+         for l, t in enumerate(params["tables"])] + [x], axis=-1)
+    assert float(jnp.abs(fused - ref).max()) < 1e-6
