@@ -327,6 +327,7 @@ def signed_distance(
     on_surface_eps: float = 1e-6,
     return_device: bool = False,
     method: str = "auto",
+    use_pallas: Optional[bool] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Signed distance (negative inside) and SDF-gradient normals.
 
@@ -370,7 +371,8 @@ def signed_distance(
         return signed_distance_culled(
             points, vertices, faces, return_normals=return_normals,
             tri_chunk=culled_tc, on_surface_eps=on_surface_eps,
-            return_device=return_device, **culled_kwargs,
+            return_device=return_device, use_pallas=use_pallas,
+            **culled_kwargs,
         )
     points = np.ascontiguousarray(points, dtype=np.float32)
     N = len(points)
@@ -387,10 +389,17 @@ def signed_distance(
     tables_np, F = _triangle_tables(vertices, faces, tri_chunk)
     tables = {k: jnp.asarray(v) for k, v in tables_np.items()}
 
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu", "gpu", "cuda")
     if point_chunk is None:
         # every dispatch costs ~0.1s through the relay: keep the block count
-        # bounded while capping the (chunk x tri_chunk) tile memory
-        point_chunk = int(min(65536, max(8192, _round_up_8k(N // 64))))
+        # bounded while capping the (chunk x tri_chunk) tile memory. The
+        # pallas streams cover all blocks in one call regardless of block
+        # count, and smaller blocks keep the Mosaic program small
+        if use_pallas:
+            point_chunk = 8192
+        else:
+            point_chunk = int(min(65536, max(8192, _round_up_8k(N // 64))))
     M = point_chunk
     # round the block count up to a power of two: the remote compiler takes
     # minutes per (n_blocks, M) shape, so bound the variant space (padding
@@ -402,10 +411,28 @@ def signed_distance(
 
     # ONE upload, ONE device dispatch chain — anything per-block round-trips
     # the relay at ~0.3-1s a pop
-    blocks = jnp.asarray(P_pad.reshape(n_blocks, M, 3))
-    _, b, w = _sdf_all_blocks(blocks, tables, tri_chunk)
-    best_idx = jnp.clip(b.reshape(-1)[:N], 0, F - 1)
-    omega = w.reshape(-1)[:N]
+    if use_pallas:
+        # run the all-pairs sweep through the fused VMEM stream kernels
+        # (ops/pallas_streams): a dense keep matrix makes the segmented
+        # streams exactly the all-pairs schedule, without the ~100 MB of
+        # (M, T) intermediate HBM round-trips per tile the XLA scan pays
+        from .pallas_streams import dist_stream_pallas, wind_stream_pallas
+
+        P_blocks_np = P_pad.reshape(n_blocks, M, 3)
+        C = tables_np["a"].shape[0]
+        from .sdf_culled import _stream_steps
+
+        sb, sc, _ = _stream_steps(np.ones((n_blocks, C), bool), n_blocks)
+        _, b = dist_stream_pallas(P_blocks_np, sb, sc, tables_np, tri_chunk)
+        w = wind_stream_pallas(P_blocks_np, sb, sc, tables_np, tri_chunk)
+        blocks = jnp.asarray(P_blocks_np)
+        best_idx = jnp.clip(b[:n_blocks].reshape(-1)[:N], 0, F - 1)
+        omega = w[:n_blocks].reshape(-1)[:N]
+    else:
+        blocks = jnp.asarray(P_pad.reshape(n_blocks, M, 3))
+        _, b, w = _sdf_all_blocks(blocks, tables, tri_chunk)
+        best_idx = jnp.clip(b.reshape(-1)[:N], 0, F - 1)
+        omega = w.reshape(-1)[:N]
 
     tri_flat = jnp.asarray(
         vertices[np.asarray(faces)].astype(np.float32).reshape(-1)

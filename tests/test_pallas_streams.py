@@ -119,3 +119,20 @@ def test_atan2_matches_numpy():
     # atan2(0, -1): +pi vs -pi are the same winding contribution mod 2pi
     wrap = np.minimum(np.abs(got - ref), 2 * np.pi - np.abs(got - ref))
     assert wrap.max() < 1e-5
+
+
+def test_dense_signed_distance_with_pallas_streams():
+    """sdf_exact.signed_distance(method='dense', use_pallas=True) must
+    match the XLA all-pairs path (interpret mode on CPU)."""
+    from sdf_representation_tpu.ops.sdf_exact import signed_distance
+
+    mesh = make_icosphere(subdivisions=3, radius=0.5)
+    rng = np.random.default_rng(4)
+    pts = rng.uniform(-1, 1, (3000, 3))
+    ref, _ = signed_distance(pts, mesh, method="dense", use_pallas=False)
+    got, _ = signed_distance(
+        pts, mesh, method="dense", use_pallas=True, point_chunk=512,
+        tri_chunk=256,
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+    assert np.all(np.sign(got) == np.sign(ref))
