@@ -13,8 +13,14 @@ def main(argv=None):
     config_file_path = argv[0]
     print(f"Running with config file: {config_file_path}")
 
+    import os
+
     import jax
 
+    # honor JAX_PLATFORMS even under site customizations that force-register
+    # an accelerator backend and ignore the env var (e.g. the axon relay)
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     # persistent compile cache: first-run jit of the samplers/kernels costs
     # minutes through the remote compiler; subsequent processes hit the cache
     jax.config.update("jax_compilation_cache_dir",

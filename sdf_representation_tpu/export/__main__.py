@@ -10,9 +10,23 @@ running utils/inference_conversion.py in the reference.
 """
 
 import argparse
+import os
+
+
+def _honor_jax_platforms_env():
+    """The image's sitecustomize force-registers the axon TPU backend and
+    IGNORES the JAX_PLATFORMS env var; apply it through jax.config so
+    `JAX_PLATFORMS=cpu python -m ...export` works (and doesn't hang when
+    the TPU relay is unavailable). Export needs no TPU."""
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
 
 
 def main():
+    _honor_jax_platforms_env()
     p = argparse.ArgumentParser(description="Export a trained model for native consumers.")
     p.add_argument("config", help="config.ini of the trained run")
     p.add_argument("out_dir", help="output directory")

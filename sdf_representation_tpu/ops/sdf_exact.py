@@ -344,6 +344,9 @@ def signed_distance(
     return_device=True returns jnp arrays without fetching (for device-side
     consumers like compute_grid_metrics — D2H through the relay runs at a
     few MB/s, so avoid fetching 256^3-sized results you don't need on host).
+
+    use_pallas: execute the tile sweeps with the fused VMEM stream kernels
+    (ops/pallas_streams). None = auto: on for TPU backends, off on CPU.
     """
     if isinstance(mesh_or_vertices, Mesh):
         vertices, faces = mesh_or_vertices.vertices, mesh_or_vertices.faces
