@@ -704,3 +704,165 @@ def signed_distance_culled(
         return np.asarray(sdf, dtype=np.float64), None
     grad = np.stack([np.asarray(g) for g in grads], axis=-1).astype(np.float64)
     return np.asarray(sdf, dtype=np.float64), grad
+
+
+# ---------------------------------------------------------------------------
+# Host-streamed face slabs: meshes past HBM residency
+# ---------------------------------------------------------------------------
+
+def signed_distance_streamed(
+    points: np.ndarray,
+    mesh_or_vertices,
+    faces: Optional[np.ndarray] = None,
+    *,
+    slab_faces: int = 1 << 24,
+    return_normals: bool = True,
+    point_chunk: int = 2048,
+    tri_chunk: int = 1024,
+    beta: float = 2.0,
+    on_surface_eps: float = 1e-6,
+    use_pallas: Optional[bool] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """signed_distance_culled for meshes whose triangle tables exceed HBM.
+
+    Faces are Morton-sorted GLOBALLY (slab spatial compactness), then
+    processed in ``slab_faces``-sized resident slabs: per slab, the same
+    cull + segmented streams as signed_distance_culled; the running
+    per-point (min d2, global winner) and winding sum combine across
+    slabs on host, and each slab's upper bound is tightened by the best
+    distance found so far (sqrt of the running min — slabs after the
+    first cull progressively harder). Distances stay EXACT for the same
+    reason as the resident path: a true upper bound can never cull the
+    winner. One final refinement runs on the gathered winner triangles.
+
+    Role match: reference datagenerator/data_generator.py:674-676 ("DAVID
+    with 1 billion triangles") — the igl AABB tree is host-RAM-bound the
+    same way; this streams the TPU-resident working set.
+    """
+    if isinstance(mesh_or_vertices, Mesh):
+        vertices, faces = mesh_or_vertices.vertices, mesh_or_vertices.faces
+    else:
+        vertices = mesh_or_vertices
+        assert faces is not None
+    points = np.ascontiguousarray(points, dtype=np.float32)
+    N = len(points)
+    if N == 0:
+        return np.zeros(0), np.zeros((0, 3))
+    vertices = np.asarray(vertices, dtype=np.float64)
+    faces = np.asarray(faces, dtype=np.int64)
+    F = len(faces)
+    if F == 0:
+        return np.full(N, np.inf), np.zeros((N, 3))
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu", "gpu", "cuda")
+
+    t0 = time.time()
+    tri_cent = vertices[faces].mean(axis=1)
+    faces_sorted = faces[_morton_order(tri_cent)]
+    order = _morton_order(points)
+
+    # global chunk geometry (streams internally via super_faces)
+    chunk_c, chunk_r, mom, cbar = _chunk_geometry(vertices, faces_sorted,
+                                                  tri_chunk)
+    C = len(chunk_c)
+    chunks_per_slab = max(1, slab_faces // tri_chunk)
+    t0 = _dbg(t0, f"host prep (F={F}, C={C})")
+
+    M = point_chunk
+    n_blocks = -(-N // M)
+    n_blocks = 1 << max(0, (n_blocks - 1).bit_length())
+    P_pad = np.empty((n_blocks * M, 3), dtype=np.float32)
+    P_pad[:N] = points[order]
+    P_pad[N:] = points[order[-1]]
+    P_blocks_np = P_pad.reshape(n_blocks, M, 3)
+    P_blocks = jnp.asarray(P_blocks_np)
+
+    scale = float(max(np.abs(vertices).max(initial=0.0),
+                      np.abs(points).max(initial=0.0), 1.0))
+    ub = _coarse_upper_bound_spheres(P_pad, chunk_c, chunk_r,
+                                     eps=1e-4 * scale)
+    t0 = _dbg(t0, "coarse upper bound (global spheres)")
+
+    run_d2 = np.full(n_blocks * M, np.inf, np.float32)
+    run_best = np.zeros(n_blocks * M, np.int64)
+    run_w = np.zeros(n_blocks * M, np.float32)
+
+    for c0 in range(0, C, chunks_per_slab):
+        c1 = min(C, c0 + chunks_per_slab)
+        f0, f1 = c0 * tri_chunk, min(F, c1 * tri_chunk)
+        tables_np, _ = _triangle_tables(vertices, faces_sorted[f0:f1],
+                                        tri_chunk)
+        tables = {k: jnp.asarray(v) for k, v in tables_np.items()}
+        # slab upper bound: global coarse bound, tightened by the running
+        # best distance (still a true upper bound on the global minimum)
+        ub_now = np.minimum(ub, np.sqrt(run_d2) + np.float32(1e-4 * scale))
+        UB_blocks = ub_now.reshape(n_blocks, M)
+        kd, kw = _cull(P_blocks, UB_blocks, chunk_c[c0:c1], chunk_r[c0:c1],
+                       beta, cbar=cbar[c0:c1], slack=_CULL_SLACK * scale)
+        t0 = _dbg(t0, f"slab {c0 // chunks_per_slab}: cull "
+                      f"(sum_kd={kd.sum()}, sum_kw={kw.sum()})")
+
+        Cs = c1 - c0
+        Cp = max(_DIP_GROUP, -(-Cs // _DIP_GROUP) * _DIP_GROUP)
+        dip_np = {
+            "cbar": np.zeros((Cp, 3), np.float32),
+            "m": np.zeros((Cp, 3), np.float32),
+            "cbar2": np.zeros((Cp,), np.float32),
+            "mdotc": np.zeros((Cp,), np.float32),
+        }
+        dip_np["cbar"][:Cs] = cbar[c0:c1]
+        dip_np["m"][:Cs] = mom[c0:c1]
+        dip_np["cbar2"][:Cs] = np.einsum("ij,ij->i", cbar[c0:c1], cbar[c0:c1])
+        dip_np["mdotc"][:Cs] = np.einsum("ij,ij->i", mom[c0:c1], cbar[c0:c1])
+        n_groups = Cp // _DIP_GROUP
+        dip = {k: jnp.asarray(v.reshape(n_groups, _DIP_GROUP, *v.shape[1:]))
+               for k, v in dip_np.items()}
+        far_pad = np.zeros((n_blocks, Cp), np.float32)
+        far_pad[:, :Cs] = (~kw).astype(np.float32)
+
+        db, dc, Sd = _stream_steps(kd, n_blocks)
+        wb, wc, Sw = _stream_steps(kw, n_blocks)
+        if use_pallas:
+            from .pallas_streams import (
+                dist_stream_pallas,
+                wind_stream_pallas,
+            )
+
+            out_d2, out_best = dist_stream_pallas(P_blocks_np, db, dc,
+                                                  tables_np, tri_chunk)
+            out_w = wind_stream_pallas(P_blocks_np, wb, wc, tables_np,
+                                       tri_chunk)
+        else:
+            out_d2, out_best = _dist_stream(P_blocks, db, dc, tables,
+                                            tri_chunk)
+            out_w = _wind_stream(P_blocks, wb, wc, tables)
+        omega_far = _dipole_all_blocks(P_blocks, jnp.asarray(far_pad), dip)
+        d2_s = np.asarray(out_d2[:n_blocks]).reshape(-1)
+        best_s = np.asarray(out_best[:n_blocks]).reshape(-1)
+        w_s = (np.asarray(out_w[:n_blocks]) + np.asarray(omega_far)
+               ).reshape(-1)
+        better = d2_s < run_d2
+        run_d2 = np.where(better, d2_s, run_d2)
+        run_best = np.where(better, best_s.astype(np.int64) + f0, run_best)
+        run_w += w_s
+        t0 = _dbg(t0, f"slab {c0 // chunks_per_slab}: streams "
+                      f"(Sd={Sd}, Sw={Sw})")
+
+    # final refinement on the gathered winner triangles
+    win = np.clip(run_best[:N], 0, F - 1)
+    tri_win = vertices[faces_sorted[win]].astype(np.float32)  # (N, 3, 3)
+    tri_flat = jnp.asarray(tri_win.reshape(-1))
+    flat = jnp.asarray(P_pad)
+    P_cols = (flat[:N, 0], flat[:N, 1], flat[:N, 2])
+    sdf_s, grads_s = _refine_device(
+        P_cols, tri_flat, jnp.arange(N, dtype=jnp.int32),
+        jnp.asarray(run_w[:N]), on_surface_eps,
+    )
+    inv = jnp.asarray(np.argsort(order))
+    sdf = jnp.take(sdf_s, inv)
+    grads = tuple(jnp.take(g, inv) for g in grads_s)
+    t0 = _dbg(t0, "refine+unsort")
+    if not return_normals:
+        return np.asarray(sdf, dtype=np.float64), None
+    grad = np.stack([np.asarray(g) for g in grads], axis=-1).astype(np.float64)
+    return np.asarray(sdf, dtype=np.float64), grad

@@ -188,3 +188,24 @@ def test_large_coordinate_scale_exactness():
     got, _ = signed_distance_culled(pts, mesh, point_chunk=256, tri_chunk=128)
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-3)
     assert np.all(np.sign(got) == np.sign(ref))
+
+
+def test_streamed_slabs_match_culled():
+    """Host-streamed face slabs (meshes past HBM residency) must reproduce
+    the resident culled path: same distances, same signs, even with the
+    mesh split into many slabs and the running-min-tightened bounds."""
+    from sdf_representation_tpu.ops.sdf_culled import signed_distance_streamed
+
+    mesh = make_icosphere(subdivisions=4, radius=0.6)  # 20480 faces
+    rng = np.random.default_rng(10)
+    pts = rng.uniform(-1, 1, (2048, 3))
+    ref, ref_n = signed_distance_culled(
+        pts, mesh, point_chunk=512, tri_chunk=256
+    )
+    got, got_n = signed_distance_streamed(
+        pts, mesh, point_chunk=512, tri_chunk=256, slab_faces=4096  # 5 slabs
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+    assert np.all(np.sign(got) == np.sign(ref))
+    dots = np.einsum("ij,ij->i", got_n, ref_n)
+    assert np.mean(dots > 0.999) > 0.99
