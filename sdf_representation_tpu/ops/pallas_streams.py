@@ -432,3 +432,198 @@ def wind_stream_pallas(P_blocks_np, step_block, step_chunk, tables_np,
 
     _slabbed(step_block, step_chunk, slab, run_one)
     return state[0]
+
+
+# ---------------------------------------------------------------------------
+# Sharded streams: split point blocks over a device mesh
+# ---------------------------------------------------------------------------
+
+def _per_device_steps(step_block, step_chunk, B, n_dev):
+    """Split block-major steps into per-device local schedules.
+
+    Blocks are assigned contiguously (Morton-coherent blocks have similar
+    surviving-chunk counts, so contiguous ranges balance well). Returns
+    (sb (D, S_max+1), sc (D, S_max+1)) int32 with LOCAL block ids, each
+    row led by the -1 sentinel and padded with local-sink (B_local) steps
+    to a power-of-two common length."""
+    B_local = B // n_dev
+    sbs, scs = [], []
+    s_max = 1
+    for d in range(n_dev):
+        lo, hi = d * B_local, (d + 1) * B_local
+        sel = (step_block >= lo) & (step_block < hi)
+        sbs.append(step_block[sel] - lo)
+        scs.append(step_chunk[sel])
+        s_max = max(s_max, len(sbs[-1]))
+    s_max = 1 << max(0, (s_max - 1).bit_length())
+    sb = np.full((n_dev, s_max + 1), B_local, np.int32)
+    sc = np.zeros((n_dev, s_max + 1), np.int32)
+    sb[:, 0] = -1
+    for d in range(n_dev):
+        n = len(sbs[d])
+        sb[d, 1 : n + 1] = sbs[d]
+        sc[d, 1 : n + 1] = scs[d]
+    return sb, sc
+
+
+def dist_stream_pallas_sharded(P_blocks_np, step_block, step_chunk,
+                               tables_np, tri_chunk: int, mesh,
+                               interpret: bool = None):
+    """dist_stream over a device mesh: each device streams its contiguous
+    range of point blocks with the triangle tables replicated. Returns
+    host (B, M) arrays (d2, best)."""
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, M, _ = P_blocks_np.shape
+    n_dev = mesh.devices.size
+    assert B % n_dev == 0, (B, n_dev)
+    B_local = B // n_dev
+    sb, sc = _per_device_steps(step_block, step_chunk, B, n_dev)
+    tab = pack_dist_table(tables_np, tri_chunk)
+    p_packed = pack_points(P_blocks_np)
+
+    shard = NamedSharding(mesh, P(DATA_AXIS))
+    repl = NamedSharding(mesh, P())
+
+    def device_fn(sb_d, sc_d, p_d, tab_r):
+        # shard_map passes local views: sb_d (1, S+1), p_d (B_local, 8, M)
+        n_steps = sb_d.shape[1] - 1
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_steps,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 8, M),
+                    lambda i, sbr, scr: (
+                        jnp.minimum(sbr[i + 1], B_local - 1), 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec((1, M), lambda i, sbr, scr: (sbr[i + 1], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, M), lambda i, sbr, scr: (sbr[i + 1], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1, _D_ROWS, tri_chunk),
+                    lambda i, sbr, scr: (scr[i + 1], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, M), lambda i, sbr, scr: (sbr[i + 1], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, M), lambda i, sbr, scr: (sbr[i + 1], 0),
+                             memory_space=pltpu.VMEM),
+            ],
+        )
+        kernel = partial(_dist_kernel, tri_chunk=tri_chunk, m=M)
+        outd0 = jnp.full((B_local + 1, M), jnp.inf, F32)
+        outb0 = jnp.zeros((B_local + 1, M), I32)
+        outd, outb = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((B_local + 1, M), F32),
+                jax.ShapeDtypeStruct((B_local + 1, M), I32),
+            ],
+            input_output_aliases={3: 0, 4: 1},
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(sb_d[0], sc_d[0], p_d, outd0, outb0, tab_r)
+        return outd[None, :B_local], outb[None, :B_local]
+
+    fn = shard_map(
+        device_fn, mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        check_vma=False,  # pallas_call outputs carry no vma annotation
+    )
+    outd, outb = fn(
+        jax.device_put(jnp.asarray(sb), shard),
+        jax.device_put(jnp.asarray(sc), shard),
+        jax.device_put(jnp.asarray(p_packed), shard),
+        jax.device_put(jnp.asarray(tab), repl),
+    )
+    return (np.asarray(outd).reshape(B, M),
+            np.asarray(outb).reshape(B, M))
+
+
+def wind_stream_pallas_sharded(P_blocks_np, step_block, step_chunk,
+                               tables_np, tri_chunk: int, mesh,
+                               interpret: bool = None):
+    """wind_stream over a device mesh (see dist_stream_pallas_sharded)."""
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, M, _ = P_blocks_np.shape
+    n_dev = mesh.devices.size
+    assert B % n_dev == 0, (B, n_dev)
+    B_local = B // n_dev
+    sb, sc = _per_device_steps(step_block, step_chunk, B, n_dev)
+    tab = pack_wind_table(tables_np, tri_chunk)
+    p_packed = pack_points(P_blocks_np)
+    shard = NamedSharding(mesh, P(DATA_AXIS))
+    repl = NamedSharding(mesh, P())
+
+    def device_fn(sb_d, sc_d, p_d, tab_r):
+        n_steps = sb_d.shape[1] - 1
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_steps,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 8, M),
+                    lambda i, sbr, scr: (
+                        jnp.minimum(sbr[i + 1], B_local - 1), 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec((1, M), lambda i, sbr, scr: (sbr[i + 1], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1, _W_ROWS, tri_chunk),
+                    lambda i, sbr, scr: (scr[i + 1], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, M), lambda i, sbr, scr: (sbr[i + 1], 0),
+                             memory_space=pltpu.VMEM),
+            ],
+        )
+        kernel = partial(_wind_kernel, tri_chunk=tri_chunk, m=M)
+        outw0 = jnp.zeros((B_local + 1, M), F32)
+        outw = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((B_local + 1, M), F32)],
+            input_output_aliases={3: 0},
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(sb_d[0], sc_d[0], p_d, outw0, tab_r)[0]
+        return outw[None, :B_local]
+
+    fn = shard_map(
+        device_fn, mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
+        out_specs=P(DATA_AXIS),
+        check_vma=False,  # pallas_call outputs carry no vma annotation
+    )
+    outw = fn(
+        jax.device_put(jnp.asarray(sb), shard),
+        jax.device_put(jnp.asarray(sc), shard),
+        jax.device_put(jnp.asarray(p_packed), shard),
+        jax.device_put(jnp.asarray(tab), repl),
+    )
+    return np.asarray(outw).reshape(B, M)

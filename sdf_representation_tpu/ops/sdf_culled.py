@@ -550,6 +550,7 @@ def signed_distance_culled(
     return_device: bool = False,
     coarse_bound: Optional[bool] = None,
     use_pallas: Optional[bool] = None,
+    device_mesh=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact-distance, fast-winding signed distance for large meshes.
 
@@ -565,6 +566,10 @@ def signed_distance_culled(
     when the default device is a TPU. The kernels pick identical winning
     triangles up to genuine last-ulp distance ties (see
     tests/test_pallas_streams.py).
+
+    device_mesh: a jax.sharding.Mesh — shard the work streams over its
+    'data' axis (contiguous Morton point-block ranges per device, tables
+    replicated). Requires the pallas path; block count must divide.
     """
     if isinstance(mesh_or_vertices, Mesh):
         vertices, faces = mesh_or_vertices.vertices, mesh_or_vertices.faces
@@ -667,7 +672,27 @@ def signed_distance_culled(
     if use_pallas is None:
         # TPU-family backends only (the axon relay registers as "axon")
         use_pallas = jax.default_backend() not in ("cpu", "gpu", "cuda")
-    if use_pallas:
+    if (device_mesh is not None and device_mesh.devices.size > 1
+            and n_blocks % device_mesh.devices.size == 0):
+        from .pallas_streams import (
+            dist_stream_pallas_sharded,
+            wind_stream_pallas_sharded,
+        )
+
+        _, out_best = dist_stream_pallas_sharded(
+            P_blocks_np, db, dc, tables_np, tri_chunk, device_mesh
+        )
+        out_w = wind_stream_pallas_sharded(
+            P_blocks_np, wb, wc, tables_np, tri_chunk, device_mesh
+        )
+        # sharded drivers return (B, M) host arrays without the sink row
+        out_best = jnp.asarray(
+            np.concatenate([out_best, np.zeros((1, M), np.int32)])
+        )
+        out_w = jnp.asarray(
+            np.concatenate([out_w, np.zeros((1, M), np.float32)])
+        )
+    elif use_pallas:
         from .pallas_streams import dist_stream_pallas, wind_stream_pallas
 
         _, out_best = dist_stream_pallas(P_blocks_np, db, dc, tables_np,

@@ -136,3 +136,27 @@ def test_dense_signed_distance_with_pallas_streams():
     )
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
     assert np.all(np.sign(got) == np.sign(ref))
+
+
+def test_culled_sharded_over_virtual_mesh():
+    """Labeling streams sharded over the 8-virtual-device mesh must equal
+    the single-device result (contiguous block ranges, replicated tables)."""
+    import jax
+
+    from sdf_representation_tpu.ops.sdf_culled import signed_distance_culled
+    from sdf_representation_tpu.parallel.mesh import get_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    mesh = get_mesh()
+    m = make_icosphere(subdivisions=4, radius=0.6)
+    rng = np.random.default_rng(11)
+    pts = rng.uniform(-1, 1, (4096, 3))
+    ref, _ = signed_distance_culled(
+        pts, m, point_chunk=512, tri_chunk=256, use_pallas=True
+    )
+    got, _ = signed_distance_culled(
+        pts, m, point_chunk=512, tri_chunk=256, device_mesh=mesh
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+    assert np.all(np.sign(got) == np.sign(ref))
