@@ -88,8 +88,12 @@ def post_process(trainer, mesh_path: Optional[str] = None) -> Dict[str, float]:
     from ..utils.profiling import force
 
     force(pred)
+    # multi-chip runs shard the labeling streams over the training mesh
+    tmesh = getattr(trainer, "mesh", None)
     true, _ = signed_distance(
-        coords, mesh, return_normals=False, return_device=True
+        coords, mesh, return_normals=False, return_device=True,
+        device_mesh=(tmesh if tmesh is not None
+                     and tmesh.devices.size > 1 else None),
     )
     force(true)
 

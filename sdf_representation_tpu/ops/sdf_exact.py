@@ -328,6 +328,7 @@ def signed_distance(
     return_device: bool = False,
     method: str = "auto",
     use_pallas: Optional[bool] = None,
+    device_mesh=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Signed distance (negative inside) and SDF-gradient normals.
 
@@ -375,7 +376,7 @@ def signed_distance(
             points, vertices, faces, return_normals=return_normals,
             tri_chunk=culled_tc, on_surface_eps=on_surface_eps,
             return_device=return_device, use_pallas=use_pallas,
-            **culled_kwargs,
+            device_mesh=device_mesh, **culled_kwargs,
         )
     points = np.ascontiguousarray(points, dtype=np.float32)
     N = len(points)
