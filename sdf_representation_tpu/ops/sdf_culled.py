@@ -693,12 +693,23 @@ def signed_distance_culled(
             np.concatenate([out_w, np.zeros((1, M), np.float32)])
         )
     elif use_pallas:
-        from .pallas_streams import dist_stream_pallas, wind_stream_pallas
+        try:
+            from .pallas_streams import (
+                dist_stream_pallas,
+                wind_stream_pallas,
+            )
 
-        _, out_best = dist_stream_pallas(P_blocks_np, db, dc, tables_np,
-                                         tri_chunk)
-        out_w = wind_stream_pallas(P_blocks_np, wb, wc, tables_np,
-                                   tri_chunk)
+            _, out_best = dist_stream_pallas(P_blocks_np, db, dc,
+                                             tables_np, tri_chunk)
+            out_w = wind_stream_pallas(P_blocks_np, wb, wc, tables_np,
+                                       tri_chunk)
+        except Exception as exc:  # pragma: no cover - compiler-dependent
+            # never let a Mosaic lowering regression take down labeling:
+            # fall back to the XLA streams (slower, same results)
+            print(f"[sdf_culled] pallas streams unavailable ({exc!r}); "
+                  "falling back to XLA streams", flush=True)
+            _, out_best = _dist_stream(P_blocks, db, dc, tables, tri_chunk)
+            out_w = _wind_stream(P_blocks, wb, wc, tables)
     else:
         _, out_best = _dist_stream(P_blocks, db, dc, tables, tri_chunk)
         out_w = _wind_stream(P_blocks, wb, wc, tables)

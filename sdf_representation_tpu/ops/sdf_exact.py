@@ -420,19 +420,30 @@ def signed_distance(
         # (ops/pallas_streams): a dense keep matrix makes the segmented
         # streams exactly the all-pairs schedule, without the ~100 MB of
         # (M, T) intermediate HBM round-trips per tile the XLA scan pays
-        from .pallas_streams import dist_stream_pallas, wind_stream_pallas
+        try:
+            from .pallas_streams import (
+                dist_stream_pallas,
+                wind_stream_pallas,
+            )
 
-        P_blocks_np = P_pad.reshape(n_blocks, M, 3)
-        C = tables_np["a"].shape[0]
-        from .sdf_culled import _stream_steps
+            P_blocks_np = P_pad.reshape(n_blocks, M, 3)
+            C = tables_np["a"].shape[0]
+            from .sdf_culled import _stream_steps
 
-        sb, sc, _ = _stream_steps(np.ones((n_blocks, C), bool), n_blocks)
-        _, b = dist_stream_pallas(P_blocks_np, sb, sc, tables_np, tri_chunk)
-        w = wind_stream_pallas(P_blocks_np, sb, sc, tables_np, tri_chunk)
-        blocks = jnp.asarray(P_blocks_np)
-        best_idx = jnp.clip(b[:n_blocks].reshape(-1)[:N], 0, F - 1)
-        omega = w[:n_blocks].reshape(-1)[:N]
-    else:
+            sb, sc, _ = _stream_steps(np.ones((n_blocks, C), bool),
+                                      n_blocks)
+            _, b = dist_stream_pallas(P_blocks_np, sb, sc, tables_np,
+                                      tri_chunk)
+            w = wind_stream_pallas(P_blocks_np, sb, sc, tables_np,
+                                   tri_chunk)
+            blocks = jnp.asarray(P_blocks_np)
+            best_idx = jnp.clip(b[:n_blocks].reshape(-1)[:N], 0, F - 1)
+            omega = w[:n_blocks].reshape(-1)[:N]
+        except Exception as exc:  # pragma: no cover - compiler-dependent
+            print(f"[sdf_exact] pallas streams unavailable ({exc!r}); "
+                  "falling back to the XLA sweep", flush=True)
+            use_pallas = False
+    if not use_pallas:
         blocks = jnp.asarray(P_pad.reshape(n_blocks, M, 3))
         _, b, w = _sdf_all_blocks(blocks, tables, tri_chunk)
         best_idx = jnp.clip(b.reshape(-1)[:N], 0, F - 1)
