@@ -18,6 +18,8 @@ import json
 import os
 import time
 
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -133,18 +135,57 @@ def main():
     pts_per_epoch = (n_points // batch) * batch
     train_pps = pts_per_epoch / t_epoch
 
-    # exact-SDF labeling throughput (the igl-replacement data-gen path)
-    from sdf_representation_tpu.geometry.primitives import make_icosphere
-    from sdf_representation_tpu.ops.sdf_exact import signed_distance
+    # exact-SDF labeling throughput (the igl-replacement data-gen path).
+    # Run in a bounded subprocess: the stream kernels' first Mosaic compile
+    # happens here on fresh hardware, and a wedged remote compile must not
+    # take the whole bench down. Falls back to the XLA streams, then to an
+    # in-process dense sweep.
+    import subprocess
+    import sys as _sys
 
-    mesh = make_icosphere(4 if quick else 6, 0.5)
+    sub = 4 if quick else 6
     n_label = 20000 if quick else 200000
-    pts = rng.uniform(-1, 1, (n_label, 3))
-    signed_distance(pts, mesh)  # compile for this exact shape
-    t0 = time.perf_counter()
-    signed_distance(pts, mesh)
-    t_label = time.perf_counter() - t0
-    label_pairs = n_label * len(mesh.faces) / t_label
+    label_code = (
+        "import time, numpy as np\n"
+        "from sdf_representation_tpu.geometry.primitives import make_icosphere\n"
+        "from sdf_representation_tpu.ops.sdf_exact import signed_distance\n"
+        f"mesh = make_icosphere({sub}, 0.5)\n"
+        f"pts = np.random.default_rng(0).uniform(-1, 1, ({n_label}, 3))\n"
+        "kw = dict(use_pallas={flag})\n"
+        "signed_distance(pts, mesh, **kw)\n"
+        "t0 = time.perf_counter()\n"
+        "signed_distance(pts, mesh, **kw)\n"
+        "print('LABEL_S', time.perf_counter() - t0, flush=True)\n"
+    )
+    t_label = None
+    label_path = None
+    for flag in ("None", "False"):
+        try:
+            r = subprocess.run(
+                [_sys.executable, "-c", label_code.format(flag=flag)],
+                timeout=1200, capture_output=True, text=True, cwd=REPO_DIR,
+            )
+            for line in r.stdout.splitlines():
+                if line.startswith("LABEL_S "):
+                    t_label = float(line.split()[1])
+                    label_path = "auto" if flag == "None" else "xla"
+            if t_label is not None:
+                break
+        except subprocess.TimeoutExpired:
+            continue
+    n_faces_label = 20 * 4 ** sub
+    if t_label is None:
+        from sdf_representation_tpu.geometry.primitives import make_icosphere
+        from sdf_representation_tpu.ops.sdf_exact import signed_distance
+
+        mesh = make_icosphere(sub, 0.5)
+        pts = rng.uniform(-1, 1, (n_label, 3))
+        signed_distance(pts, mesh, use_pallas=False)
+        t0 = time.perf_counter()
+        signed_distance(pts, mesh, use_pallas=False)
+        t_label = time.perf_counter() - t0
+        label_path = "inproc-xla"
+    label_pairs = n_label * n_faces_label / t_label
 
     # Quick mode extrapolates the DENSE kernel cubically (sparse time scales
     # ~n^2 with a fixed margin floor, so extrapolating it would be wrong).
@@ -175,7 +216,8 @@ def main():
             "train_batch": batch,
             "train_precision": "mixed_bf16",
             "sdf_label_gpairs_per_sec": round(label_pairs / 1e9, 2),
-            "sdf_label_mesh_faces": len(mesh.faces),
+            "sdf_label_mesh_faces": n_faces_label,
+            "sdf_label_path": label_path,
             "device": str(jax.devices()[0]),
             "n_devices": len(jax.devices()),
         },
