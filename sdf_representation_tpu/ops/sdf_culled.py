@@ -551,6 +551,7 @@ def signed_distance_culled(
     coarse_bound: Optional[bool] = None,
     use_pallas: Optional[bool] = None,
     device_mesh=None,
+    dist_tri_chunk: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact-distance, fast-winding signed distance for large meshes.
 
@@ -570,6 +571,13 @@ def signed_distance_culled(
     device_mesh: a jax.sharding.Mesh — shard the work streams over its
     'data' axis (contiguous Morton point-block ranges per device, tables
     replicated). Requires the pallas path; block count must divide.
+
+    dist_tri_chunk: cull + run the DISTANCE stream at a finer chunk
+    granularity than the winding partition (e.g. 128 vs 1024): smaller
+    spheres cull ~2x more pairs, and the Pallas kernels make small tiles
+    cheap. Winding/dipole stay at ``tri_chunk`` (the dipole accuracy and
+    the O(N*C) dipole pass prefer coarse chunks). None = single
+    granularity.
     """
     if isinstance(mesh_or_vertices, Mesh):
         vertices, faces = mesh_or_vertices.vertices, mesh_or_vertices.faces
@@ -646,6 +654,19 @@ def signed_distance_culled(
     t0 = _dbg(t0, f"cull (B={n_blocks}, sum_kd={kd.sum()}, "
                   f"sum_kw={kw.sum()}, C={C})")
 
+    # optional finer granularity for the distance side only
+    if dist_tri_chunk is None or dist_tri_chunk == tri_chunk:
+        d_tc, kd_d = tri_chunk, kd
+        d_tables_np = tables_np
+    else:
+        d_tc = dist_tri_chunk
+        d_tables_np, _ = _triangle_tables(vertices, faces_sorted, d_tc)
+        cd, rd, _, cbard = _chunk_geometry(vertices, faces_sorted, d_tc)
+        kd_d, _ = _cull(P_blocks, UB_blocks, cd, rd, beta, cbar=cbard,
+                        slack=_CULL_SLACK * scale)
+        t0 = _dbg(t0, f"fine cull (sum_kd={kd_d.sum()}, Cd={len(cd)}, "
+                      f"pair_ratio={kd_d.sum() * d_tc / max(kd.sum() * tri_chunk, 1):.3f})")
+
     # dipole tables, group-padded (padding has zero moment -> zero term)
     Cp = max(_DIP_GROUP, -(-C // _DIP_GROUP) * _DIP_GROUP)
     dip_np = {
@@ -667,7 +688,7 @@ def signed_distance_culled(
     far_pad = np.zeros((n_blocks, Cp), np.float32)
     far_pad[:, :C] = (~kw).astype(np.float32)
 
-    db, dc, Sd = _stream_steps(kd, n_blocks)
+    db, dc, Sd = _stream_steps(kd_d, n_blocks)
     wb, wc, Sw = _stream_steps(kw, n_blocks)
     if use_pallas is None:
         # TPU-family backends only (the axon relay registers as "axon")
@@ -680,7 +701,7 @@ def signed_distance_culled(
         )
 
         _, out_best = dist_stream_pallas_sharded(
-            P_blocks_np, db, dc, tables_np, tri_chunk, device_mesh
+            P_blocks_np, db, dc, d_tables_np, d_tc, device_mesh
         )
         out_w = wind_stream_pallas_sharded(
             P_blocks_np, wb, wc, tables_np, tri_chunk, device_mesh
@@ -700,7 +721,7 @@ def signed_distance_culled(
             )
 
             _, out_best = dist_stream_pallas(P_blocks_np, db, dc,
-                                             tables_np, tri_chunk)
+                                             d_tables_np, d_tc)
             out_w = wind_stream_pallas(P_blocks_np, wb, wc, tables_np,
                                        tri_chunk)
         except Exception as exc:  # pragma: no cover - compiler-dependent
@@ -708,10 +729,13 @@ def signed_distance_culled(
             # fall back to the XLA streams (slower, same results)
             print(f"[sdf_culled] pallas streams unavailable ({exc!r}); "
                   "falling back to XLA streams", flush=True)
-            _, out_best = _dist_stream(P_blocks, db, dc, tables, tri_chunk)
+            d_tables = {k: jnp.asarray(v) for k, v in d_tables_np.items()}
+            _, out_best = _dist_stream(P_blocks, db, dc, d_tables, d_tc)
             out_w = _wind_stream(P_blocks, wb, wc, tables)
     else:
-        _, out_best = _dist_stream(P_blocks, db, dc, tables, tri_chunk)
+        d_tables = (tables if d_tc == tri_chunk
+                    else {k: jnp.asarray(v) for k, v in d_tables_np.items()})
+        _, out_best = _dist_stream(P_blocks, db, dc, d_tables, d_tc)
         out_w = _wind_stream(P_blocks, wb, wc, tables)
     omega_far = _dipole_all_blocks(P_blocks, jnp.asarray(far_pad), dip)
     best_idx = jnp.clip(out_best[:n_blocks].reshape(-1)[:N], 0, F - 1)

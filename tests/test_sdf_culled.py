@@ -209,3 +209,22 @@ def test_streamed_slabs_match_culled():
     assert np.all(np.sign(got) == np.sign(ref))
     dots = np.einsum("ij,ij->i", got_n, ref_n)
     assert np.mean(dots > 0.999) > 0.99
+
+
+def test_fine_distance_granularity_matches_default():
+    """dist_tri_chunk (finer distance-side culling) must not change a
+    single distance or sign — only the amount of stream work."""
+    mesh = make_icosphere(subdivisions=4, radius=0.6)
+    rng = np.random.default_rng(12)
+    pts = rng.uniform(-1, 1, (2048, 3))
+    ref, _ = signed_distance_culled(pts, mesh, point_chunk=512,
+                                    tri_chunk=512)
+    got, _ = signed_distance_culled(pts, mesh, point_chunk=512,
+                                    tri_chunk=512, dist_tri_chunk=64)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+    assert np.all(np.sign(got) == np.sign(ref))
+    # and through the pallas kernels too
+    got_p, _ = signed_distance_culled(pts, mesh, point_chunk=512,
+                                      tri_chunk=512, dist_tri_chunk=64,
+                                      use_pallas=True)
+    np.testing.assert_allclose(got_p, ref, rtol=1e-5, atol=1e-6)
