@@ -69,6 +69,11 @@ _CULL_SLACK = 1e-3  # absorbs f32 rounding in the sphere-bound comparisons
 # Exact coarse-field node sweep costs O(grid^3 * F) pairs; past this budget
 # (~1M faces at grid=32) switch to the O(grid^3 * C) sphere-node bound.
 _COARSE_EXACT_MAX_PAIRS = 3.2e10
+# Past this many faces the triangle tables stop fitting HBM comfortably
+# (~100 B/face x2 table sets + points + outputs on a 16 GB part);
+# signed_distance_culled transparently delegates to the host-streamed
+# face-slab path.
+_RESIDENT_MAX_FACES = 1 << 25
 
 
 def _dbg(t0, label):
@@ -595,6 +600,19 @@ def signed_distance_culled(
         g = np.zeros((N, 3), dtype=np.float64)
         if return_device:
             return jnp.asarray(d), jnp.asarray(g)
+        return d, g
+
+    if len(faces) > _RESIDENT_MAX_FACES:
+        # beyond HBM residency: stream face slabs (distances stay exact)
+        d, g = signed_distance_streamed(
+            points, vertices, faces, slab_faces=_RESIDENT_MAX_FACES,
+            return_normals=return_normals, point_chunk=point_chunk,
+            tri_chunk=tri_chunk, beta=beta, on_surface_eps=on_surface_eps,
+            use_pallas=use_pallas,
+        )
+        if return_device:
+            return jnp.asarray(d), (jnp.asarray(g) if return_normals
+                                    else None)
         return d, g
 
     t0 = time.time()

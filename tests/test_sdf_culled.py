@@ -228,3 +228,20 @@ def test_fine_distance_granularity_matches_default():
                                       tri_chunk=512, dist_tri_chunk=64,
                                       use_pallas=True)
     np.testing.assert_allclose(got_p, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_beyond_residency_auto_delegates_to_streamed(monkeypatch):
+    """signed_distance_culled transparently streams face slabs when the
+    mesh exceeds the residency cap — same distances and signs."""
+    from sdf_representation_tpu.ops import sdf_culled
+
+    mesh = make_icosphere(subdivisions=4, radius=0.6)  # 20480 faces
+    rng = np.random.default_rng(13)
+    pts = rng.uniform(-1, 1, (1024, 3))
+    ref, _ = signed_distance_culled(pts, mesh, point_chunk=256,
+                                    tri_chunk=256)
+    monkeypatch.setattr(sdf_culled, "_RESIDENT_MAX_FACES", 8192)  # 3 slabs
+    got, _ = signed_distance_culled(pts, mesh, point_chunk=256,
+                                    tri_chunk=256)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+    assert np.all(np.sign(got) == np.sign(ref))
