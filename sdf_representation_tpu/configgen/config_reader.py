@@ -159,6 +159,15 @@ class Configuration:
                 hidden_dim=self.hidden_dim,
                 num_layers=max(2, self.num_hidden_layers),
             )
+        if self.model_name == "Siren":
+            from ..models.siren import Siren
+
+            return Siren(
+                d_in=self.input_dim,
+                hidden_dims=(self.hidden_dim,) * self.num_hidden_layers,
+                omega_0=self.config.getfloat("Model", "omega_0",
+                                             fallback=30.0),
+            )
         return cls()
 
     def make_loss(self):

@@ -5,6 +5,7 @@ from .implicit_net import ImplicitNet, ImplicitNetCompatible
 from .ffn import FeedForwardNetwork
 from .kan import KAN
 from .hash_mlp import HashMLP
+from .siren import Siren
 
 MODEL_REGISTRY = {
     "ImplicitNet": ImplicitNet,
@@ -12,6 +13,7 @@ MODEL_REGISTRY = {
     "FeedForwardNetwork": FeedForwardNetwork,
     "KAN": KAN,
     "HashMLP": HashMLP,
+    "Siren": Siren,
 }
 
 

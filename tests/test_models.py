@@ -359,3 +359,71 @@ def test_kan_grid_is_frozen_buffer():
         assert float(jnp.abs(layer["grid"]).max()) == 0.0
         assert float(jnp.abs(layer["base_w"]).max()) > 0.0
         assert float(jnp.abs(layer["spline_w"]).max()) > 0.0
+
+
+class TestSiren:
+    def test_init_preactivation_statistics(self):
+        """Sitzmann init: hidden pre-activations ~N(0,1) through depth."""
+        import jax
+        import jax.numpy as jnp
+
+        from sdf_representation_tpu.models.siren import Siren
+
+        m = Siren(d_in=3, hidden_dims=(256,) * 4)
+        p = m.init(jax.random.PRNGKey(0))
+        x = jax.random.uniform(jax.random.PRNGKey(1), (4096, 3), minval=-1,
+                               maxval=1)
+        w0 = m.omega_0
+        h = jnp.sin(w0 * (x @ p["layers"][0]["w"]))
+        for layer in p["layers"][1:-1]:
+            pre = w0 * (h @ layer["w"])
+            std = float(jnp.std(pre))
+            assert 0.5 < std < 2.0  # stays O(1), no blow-up/collapse
+            h = jnp.sin(pre)
+
+    def test_fits_sphere_sdf(self):
+        """A tiny Siren fits an analytic sphere SDF fast (the paper's
+        selling point: rapid convergence on implicit fields)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        import optax
+
+        from sdf_representation_tpu.models.siren import Siren
+
+        m = Siren(d_in=3, hidden_dims=(64,) * 3)
+        p = m.init(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(0)
+        X = jnp.asarray(rng.uniform(-1, 1, (8192, 3)).astype(np.float32))
+        Y = jnp.linalg.norm(X, axis=1) - 0.5
+        opt = optax.adam(1e-4)
+        st = opt.init(p)
+
+        @jax.jit
+        def step(p, st):
+            l, g = jax.value_and_grad(
+                lambda p: jnp.mean((m.apply(p, X) - Y) ** 2)
+            )(p)
+            u, st = opt.update(g, st)
+            return optax.apply_updates(p, u), st, l
+
+        for _ in range(300):
+            p, st, l = step(p, st)
+        pred = m.apply(p, X)
+        acc = float(jnp.mean(jnp.sign(pred) == jnp.sign(Y)))
+        assert float(l) < 1e-3 and acc > 0.97, (float(l), acc)
+
+    def test_config_builds_siren(self, tmp_path):
+        from tests.test_trainer import tiny_config
+
+        cfg = tiny_config(tmp_path, epochs=1)
+        cfg.config.set("Model", "model", "Siren")
+        cfg.config.set("Model", "omega_0", "20")
+        cfg.model_name = "Siren"
+        model = cfg.make_model()
+        assert model.omega_0 == 20.0
+        import jax
+
+        p = model.init(jax.random.PRNGKey(0))
+        out = model.apply(p, jax.numpy.zeros((4, 3)))
+        assert out.shape == (4,)
