@@ -42,6 +42,14 @@ def test_kan_trains(tmp_path):
     assert res["train_losses"][-1] < res["train_losses"][0]
 
 
+def test_siren_trains(tmp_path):
+    cfg = _swap_model(tmp_path, "Siren", 32, 2)
+    trainer = Trainer(cfg)
+    res = trainer.train(dataset=sphere_dataset(1500))
+    assert res["train_losses"][-1] < res["train_losses"][0]
+    assert np.all(np.isfinite(res["train_losses"]))
+
+
 def test_samplingonly_mode(tmp_path):
     from sdf_representation_tpu.geometry.mesh_io import save_mesh
     from sdf_representation_tpu.geometry.primitives import make_box
