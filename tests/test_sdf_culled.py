@@ -245,3 +245,29 @@ def test_beyond_residency_auto_delegates_to_streamed(monkeypatch):
                                     tri_chunk=256)
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
     assert np.all(np.sign(got) == np.sign(ref))
+
+
+def test_triangle_soup_distances_exact():
+    """Non-watertight random soup: no winding structure to lean on, but
+    DISTANCES must still match the dense oracle exactly through the culled
+    and streamed paths (sign is winding-defined and matches dense since
+    both integrate the same solid angles)."""
+    rng = np.random.default_rng(14)
+    centers = rng.uniform(-0.5, 0.5, (100, 1, 3))
+    tris = centers + rng.normal(scale=0.08, size=(100, 3, 3))
+    verts = tris.reshape(-1, 3)
+    faces = np.arange(300).reshape(100, 3)
+    pts = rng.uniform(-1, 1, (1500, 3))
+    ref, _ = signed_distance(pts, verts, faces, method="dense")
+    got, _ = signed_distance_culled(pts, verts, faces, point_chunk=256,
+                                    tri_chunk=16)
+    np.testing.assert_allclose(np.abs(got), np.abs(ref), rtol=1e-5,
+                               atol=1e-6)
+    from sdf_representation_tpu.ops.sdf_culled import (
+        signed_distance_streamed,
+    )
+
+    got_s, _ = signed_distance_streamed(pts, verts, faces, point_chunk=256,
+                                        tri_chunk=16, slab_faces=32)
+    np.testing.assert_allclose(np.abs(got_s), np.abs(ref), rtol=1e-5,
+                               atol=1e-6)
