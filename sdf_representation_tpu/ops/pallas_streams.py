@@ -51,19 +51,19 @@ from .sdf_exact import _eberly_st
 F32 = jnp.float32
 I32 = jnp.int32
 
-# distance-table row layout (21 used rows, padded to 24 sublanes)
+# distance-table row layout (15 used rows, padded to 16 sublanes).
+# The tile pass needs only P.E0 / P.E1 (d = e0v0 - P.E0, e = e1v0 - P.E1)
+# plus v0/E0/E1 for the closest point — not the raw v1/v2 dots.
 _D_V0 = 0      # v0 xyz -> rows 0..2
-_D_V1 = 3
-_D_V2 = 6
-_D_E0 = 9
-_D_E1 = 12
-_D_A = 15
-_D_B = 16
-_D_C = 17
-_D_E0V0 = 18
-_D_E1V0 = 19
-_D_VALID = 20
-_D_ROWS = 24
+_D_E0 = 3
+_D_E1 = 6
+_D_A = 9
+_D_B = 10
+_D_C = 11
+_D_E0V0 = 12
+_D_E1V0 = 13
+_D_VALID = 14
+_D_ROWS = 16
 
 # winding-table row layout (20 used rows, padded to 24)
 _W_V0 = 0
@@ -91,11 +91,10 @@ def _eye(n: int) -> jnp.ndarray:
 
 
 def pack_dist_table(tables: dict, tri_chunk: int) -> np.ndarray:
-    """(C, 24, T) f32 from the _triangle_tables dict (host, once)."""
+    """(C, 16, T) f32 from the _triangle_tables dict (host, once)."""
     C = tables["a"].shape[0]
     out = np.zeros((C, _D_ROWS, tri_chunk), np.float32)
-    for base, key in ((_D_V0, "v0"), (_D_V1, "v1"), (_D_V2, "v2"),
-                      (_D_E0, "E0"), (_D_E1, "E1")):
+    for base, key in ((_D_V0, "v0"), (_D_E0, "E0"), (_D_E1, "E1")):
         for k in range(3):
             out[:, base + k, :] = tables[key][:, :, k]
     for row, key in ((_D_A, "a"), (_D_B, "b"), (_D_C, "c"),
@@ -199,11 +198,10 @@ def _dist_kernel(sb_ref, sc_ref, p_ref, ind_ref, inb_ref, tab_ref,
             t0 = j * _T_SUB
             tt = jax.lax.dynamic_slice(ttab, (t0, 0), (_T_SUB, _D_ROWS))
             col = lambda r: jax.lax.slice(tt, (0, r), (_T_SUB, r + 1))
-            pv0 = col(_D_V0) * px + col(_D_V0 + 1) * py + col(_D_V0 + 2) * pz
-            pv1 = col(_D_V1) * px + col(_D_V1 + 1) * py + col(_D_V1 + 2) * pz
-            pv2 = col(_D_V2) * px + col(_D_V2 + 1) * py + col(_D_V2 + 2) * pz
-            d = col(_D_E0V0) - (pv1 - pv0)
-            e = col(_D_E1V0) - (pv2 - pv0)
+            pe0 = col(_D_E0) * px + col(_D_E0 + 1) * py + col(_D_E0 + 2) * pz
+            pe1 = col(_D_E1) * px + col(_D_E1 + 1) * py + col(_D_E1 + 2) * pz
+            d = col(_D_E0V0) - pe0
+            e = col(_D_E1V0) - pe1
             s, t = _eberly_st(col(_D_A), col(_D_B), col(_D_C), d, e)
             dx = px - (col(_D_V0) + s * col(_D_E0) + t * col(_D_E1))
             dy = py - (col(_D_V0 + 1) + s * col(_D_E0 + 1)
