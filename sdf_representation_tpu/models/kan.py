@@ -186,24 +186,36 @@ class KANLayerSpec:
     def apply(self, p: Params, x: jnp.ndarray) -> jnp.ndarray:
         base = jax.nn.silu(x) @ p["base_w"]
         n_bases = self.grid_size + self.spline_order
-        if "adaptive_grid" not in p and self.spline_order in (1, 2, 3):
-            # hot path: the knot grid is the untouched default_grid —
-            # uniform with STATIC g0/h, so the basis tensor is one fused
-            # element-wise pass (no grid reads at all). update_grid inserts
-            # the "adaptive_grid" marker, which changes the pytree
-            # STRUCTURE, so this dispatch is jit-static and a first
-            # update_grid triggers exactly one recompile onto the general
-            # path below.
+        # the knot grid is a BUFFER, not a trainable parameter (the
+        # reference registers it as such): letting the optimizer move
+        # knots eventually makes neighbours cross and the Cox-de Boor
+        # divisions blow up (observed as NaN after ~100 Adam epochs).
+        # stop_gradient keeps its grads — and Adam updates — zero.
+        grid = jax.lax.stop_gradient(p["grid"])
+        if self.spline_order in (1, 2, 3):
+            # Fast path: while the knot grid is the untouched uniform
+            # default_grid, the basis tensor is one fused element-wise
+            # pass with STATIC g0/h (no grid reads at all) — the 4.8x KAN
+            # training speedup. The dispatch is a runtime lax.cond on the
+            # grid VALUES (a tiny reduction per layer), so it stays
+            # correct for any params: after update_grid the stored knots
+            # are non-uniform and the general recursion branch runs — at
+            # the recursion's ~4.8x-slower pace (documented; see
+            # docs/configuration.md). Keying on values rather than pytree
+            # structure keeps checkpoints round-trippable through the
+            # init-derived template before AND after update_grid.
             g0, g1 = self.grid_range
             h = (g1 - g0) / self.grid_size
-            bases = b_splines_uniform(x, g0, h, n_bases, self.spline_order)
+            is_default = jnp.all(grid == self.default_grid())
+            bases = jax.lax.cond(
+                is_default,
+                lambda xx: b_splines_uniform(
+                    xx, g0, h, n_bases, self.spline_order
+                ),
+                lambda xx: b_splines(xx, grid, self.spline_order),
+                x,
+            )
         else:
-            # the knot grid is a BUFFER, not a trainable parameter (the
-            # reference registers it as such): letting the optimizer move
-            # knots eventually makes neighbours cross and the Cox-de Boor
-            # divisions blow up (observed as NaN after ~100 Adam epochs).
-            # stop_gradient keeps its grads — and Adam updates — zero.
-            grid = jax.lax.stop_gradient(p["grid"])
             bases = b_splines(x, grid, self.spline_order)  # (B, in, coeff)
         spline = jnp.einsum("bic,ico->bo", bases, self.scaled_spline_w(p))
         return base + spline
@@ -246,9 +258,12 @@ class KANLayerSpec:
         out = dict(p)
         out["grid"] = new_grid
         out["spline_w"] = new_coeff
-        # pytree-structure marker: apply() must stop assuming the static
-        # uniform default_grid once the knots have adapted to data
-        out["adaptive_grid"] = jnp.zeros((), jnp.bool_)
+        # NOTE: no pytree-structure change — apply() dispatches on the grid
+        # VALUES, so the adapted params keep the init-derived checkpoint
+        # template and restore/resume keeps working after update_grid.
+        # (A legacy "adaptive_grid" marker key from older checkpoints is
+        # tolerated by checkpoint.load_checkpoint's alignment fallback.)
+        out.pop("adaptive_grid", None)
         return out
 
 

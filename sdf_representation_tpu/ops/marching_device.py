@@ -468,6 +468,14 @@ def marching_tets_device(vol, level: float = 0.0):
         out = fn(vol, jnp.float32(level), b_max, c_max, m_max, v_max, t_max)
         vslots, t, f0, f1, f2 = out[:5]
         cb, cc, cm, cv, ct = (int(x) for x in out[5:])
+        # check BEFORE the budgets-satisfied break: a cached budget large
+        # enough to hold >16.7M vertices would otherwise break on the
+        # first pass with cvbase << 7 already wrapped in int32
+        if cv > 1 << 24:
+            raise ValueError(
+                f"{cv} vertices overflow the packed core-word budget (2^24);"
+                " extract in sub-volumes"
+            )
         if (cb <= b_max and cc <= c_max and cm <= m_max and cv <= v_max
                 and ct <= t_max):
             _BUDGET_CACHE[key] = (b_max, c_max, m_max, v_max, t_max)
@@ -476,11 +484,6 @@ def marching_tets_device(vol, level: float = 0.0):
             b_max = min(nb3, _quantize(cb * 1.25, 1024))
         if cc > c_max:
             c_max = _quantize(cc * 1.25)
-        if cv > 1 << 24:
-            raise ValueError(
-                f"{cv} vertices overflow the packed core-word budget (2^24);"
-                " extract in sub-volumes"
-            )
         if cm > m_max:
             m_max = _quantize(cm * 1.25)
         if cv > v_max:

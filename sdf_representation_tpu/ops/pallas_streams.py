@@ -84,6 +84,27 @@ _T_SUB = 128   # triangles (sublanes) per strip
 _M_SUB = 1024  # points (lanes) per strip: temps are (128, 1024) f32 = 512 KB
 
 
+def stream_tiling_ok(tri_chunk: int, m: int) -> bool:
+    """True iff the kernels can tile (tri_chunk, m) without dropping work.
+
+    The strip loops walk ``tri_chunk // _T_SUB`` sublane strips and
+    ``m // min(_M_SUB, m)`` lane sub-blocks — a remainder in either
+    would be silently skipped, so the drivers refuse it instead."""
+    if tri_chunk < _T_SUB or tri_chunk % _T_SUB != 0:
+        return False
+    return m % min(_M_SUB, m) == 0
+
+
+def _check_tiling(tri_chunk: int, m: int) -> None:
+    if not stream_tiling_ok(tri_chunk, m):
+        raise ValueError(
+            f"pallas stream kernels need tri_chunk a multiple of {_T_SUB} "
+            f"(got {tri_chunk}) and point_chunk a multiple of "
+            f"min({_M_SUB}, point_chunk) (got {m}); use the XLA streams "
+            "(use_pallas=False) for other tilings"
+        )
+
+
 def _eye(n: int) -> jnp.ndarray:
     r = jax.lax.broadcasted_iota(I32, (n, n), 0)
     c = jax.lax.broadcasted_iota(I32, (n, n), 1)
@@ -394,6 +415,7 @@ def dist_stream_pallas(P_blocks_np, step_block, step_chunk, tables_np,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     B, M, _ = P_blocks_np.shape
+    _check_tiling(tri_chunk, M)
     p_packed = jnp.asarray(pack_points(P_blocks_np))
     tab = jnp.asarray(pack_dist_table(tables_np, tri_chunk))
     state = [
@@ -419,6 +441,7 @@ def wind_stream_pallas(P_blocks_np, step_block, step_chunk, tables_np,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     B, M, _ = P_blocks_np.shape
+    _check_tiling(tri_chunk, M)
     p_packed = jnp.asarray(pack_points(P_blocks_np))
     tab = jnp.asarray(pack_wind_table(tables_np, tri_chunk))
     state = [jnp.zeros((B + 1, M), F32)]
@@ -478,6 +501,7 @@ def dist_stream_pallas_sharded(P_blocks_np, step_block, step_chunk,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     B, M, _ = P_blocks_np.shape
+    _check_tiling(tri_chunk, M)
     n_dev = mesh.devices.size
     assert B % n_dev == 0, (B, n_dev)
     B_local = B // n_dev
@@ -564,6 +588,7 @@ def wind_stream_pallas_sharded(P_blocks_np, step_block, step_chunk,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     B, M, _ = P_blocks_np.shape
+    _check_tiling(tri_chunk, M)
     n_dev = mesh.devices.size
     assert B % n_dev == 0, (B, n_dev)
     B_local = B // n_dev

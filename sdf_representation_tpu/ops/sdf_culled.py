@@ -711,26 +711,54 @@ def signed_distance_culled(
     if use_pallas is None:
         # TPU-family backends only (the axon relay registers as "axon")
         use_pallas = jax.default_backend() not in ("cpu", "gpu", "cuda")
-    if (device_mesh is not None and device_mesh.devices.size > 1
-            and n_blocks % device_mesh.devices.size == 0):
-        from .pallas_streams import (
-            dist_stream_pallas_sharded,
-            wind_stream_pallas_sharded,
-        )
+    if use_pallas:
+        # the kernels strip-tile (tri_chunk x point_chunk); a tiling the
+        # strips can't cover exactly would silently drop triangles, so
+        # divert those to the XLA streams instead (same results)
+        from .pallas_streams import stream_tiling_ok
 
-        _, out_best = dist_stream_pallas_sharded(
-            P_blocks_np, db, dc, d_tables_np, d_tc, device_mesh
-        )
-        out_w = wind_stream_pallas_sharded(
-            P_blocks_np, wb, wc, tables_np, tri_chunk, device_mesh
-        )
-        # sharded drivers return (B, M) host arrays without the sink row
-        out_best = jnp.asarray(
-            np.concatenate([out_best, np.zeros((1, M), np.int32)])
-        )
-        out_w = jnp.asarray(
-            np.concatenate([out_w, np.zeros((1, M), np.float32)])
-        )
+        if not (stream_tiling_ok(tri_chunk, M)
+                and stream_tiling_ok(d_tc, M)):
+            print(f"[sdf_culled] tri_chunk={tri_chunk}/{d_tc} or "
+                  f"point_chunk={M} not kernel-tileable; using XLA streams",
+                  flush=True)
+            use_pallas = False
+
+    def _xla_streams():
+        d_tables = (tables if d_tc == tri_chunk
+                    else {k: jnp.asarray(v) for k, v in d_tables_np.items()})
+        _, best = _dist_stream(P_blocks, db, dc, d_tables, d_tc)
+        w = _wind_stream(P_blocks, wb, wc, tables)
+        return best, w
+
+    if (use_pallas and device_mesh is not None
+            and device_mesh.devices.size > 1
+            and n_blocks % device_mesh.devices.size == 0):
+        try:
+            from .pallas_streams import (
+                dist_stream_pallas_sharded,
+                wind_stream_pallas_sharded,
+            )
+
+            _, out_best = dist_stream_pallas_sharded(
+                P_blocks_np, db, dc, d_tables_np, d_tc, device_mesh
+            )
+            out_w = wind_stream_pallas_sharded(
+                P_blocks_np, wb, wc, tables_np, tri_chunk, device_mesh
+            )
+            # sharded drivers return (B, M) host arrays without the sink row
+            out_best = jnp.asarray(
+                np.concatenate([out_best, np.zeros((1, M), np.int32)])
+            )
+            out_w = jnp.asarray(
+                np.concatenate([out_w, np.zeros((1, M), np.float32)])
+            )
+        except Exception as exc:  # pragma: no cover - compiler-dependent
+            # same guarantee as single-device: a Mosaic lowering regression
+            # must never take down multi-chip labeling
+            print(f"[sdf_culled] sharded pallas streams unavailable "
+                  f"({exc!r}); falling back to XLA streams", flush=True)
+            out_best, out_w = _xla_streams()
     elif use_pallas:
         try:
             from .pallas_streams import (
@@ -747,14 +775,9 @@ def signed_distance_culled(
             # fall back to the XLA streams (slower, same results)
             print(f"[sdf_culled] pallas streams unavailable ({exc!r}); "
                   "falling back to XLA streams", flush=True)
-            d_tables = {k: jnp.asarray(v) for k, v in d_tables_np.items()}
-            _, out_best = _dist_stream(P_blocks, db, dc, d_tables, d_tc)
-            out_w = _wind_stream(P_blocks, wb, wc, tables)
+            out_best, out_w = _xla_streams()
     else:
-        d_tables = (tables if d_tc == tri_chunk
-                    else {k: jnp.asarray(v) for k, v in d_tables_np.items()})
-        _, out_best = _dist_stream(P_blocks, db, dc, d_tables, d_tc)
-        out_w = _wind_stream(P_blocks, wb, wc, tables)
+        out_best, out_w = _xla_streams()
     omega_far = _dipole_all_blocks(P_blocks, jnp.asarray(far_pad), dip)
     best_idx = jnp.clip(out_best[:n_blocks].reshape(-1)[:N], 0, F - 1)
     omega = (out_w[:n_blocks] + omega_far).reshape(-1)[:N]
@@ -833,6 +856,14 @@ def signed_distance_streamed(
         return np.full(N, np.inf), np.zeros((N, 3))
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu", "gpu", "cuda")
+    if use_pallas:
+        from .pallas_streams import stream_tiling_ok
+
+        if not stream_tiling_ok(tri_chunk, point_chunk):
+            print(f"[sdf_culled] tri_chunk={tri_chunk} or "
+                  f"point_chunk={point_chunk} not kernel-tileable; "
+                  "using XLA streams", flush=True)
+            use_pallas = False
 
     t0 = time.time()
     tri_cent = vertices[faces].mean(axis=1)
@@ -901,16 +932,21 @@ def signed_distance_streamed(
         db, dc, Sd = _stream_steps(kd, n_blocks)
         wb, wc, Sw = _stream_steps(kw, n_blocks)
         if use_pallas:
-            from .pallas_streams import (
-                dist_stream_pallas,
-                wind_stream_pallas,
-            )
+            try:
+                from .pallas_streams import (
+                    dist_stream_pallas,
+                    wind_stream_pallas,
+                )
 
-            out_d2, out_best = dist_stream_pallas(P_blocks_np, db, dc,
-                                                  tables_np, tri_chunk)
-            out_w = wind_stream_pallas(P_blocks_np, wb, wc, tables_np,
-                                       tri_chunk)
-        else:
+                out_d2, out_best = dist_stream_pallas(P_blocks_np, db, dc,
+                                                      tables_np, tri_chunk)
+                out_w = wind_stream_pallas(P_blocks_np, wb, wc, tables_np,
+                                           tri_chunk)
+            except Exception as exc:  # pragma: no cover - compiler-dependent
+                print(f"[sdf_culled] pallas streams unavailable ({exc!r}); "
+                      "falling back to XLA streams", flush=True)
+                use_pallas = False
+        if not use_pallas:
             out_d2, out_best = _dist_stream(P_blocks, db, dc, tables,
                                             tri_chunk)
             out_w = _wind_stream(P_blocks, wb, wc, tables)

@@ -166,6 +166,21 @@ def _sparse_sharded_device(
         (ids,) = jnp.nonzero(mask, size=k_max, fill_value=0)
         ids = ids.astype(jnp.int32)
 
+        # certificate (replicated; see ops/sparse_grid.py): adjacent
+        # inactive blocks with disagreeing center signs prove a missed
+        # crossing — only possible when local Lipschitz > ~1.95*safety
+        c3 = (coarse <= 0.0).reshape(nb, nb, nb)
+        i3 = jnp.logical_not(mask).reshape(nb, nb, nb)
+        viol = jnp.int32(0)
+        for ax_ in range(3):
+            lo = [slice(None)] * 3
+            hi = [slice(None)] * 3
+            lo[ax_] = slice(None, -1)
+            hi[ax_] = slice(1, None)
+            bad = ((c3[tuple(lo)] != c3[tuple(hi)])
+                   & i3[tuple(lo)] & i3[tuple(hi)])
+            viol = viol + jnp.sum(bad.astype(jnp.int32))
+
         # ---- 3. refine MY contiguous slice of the active list ------------
         # (actives spread over the whole surface, so equal slices of the
         # sorted list balance within ~1 tile)
@@ -242,16 +257,16 @@ def _sparse_sharded_device(
             .transpose(0, 3, 1, 4, 2, 5)
             .reshape(n // n_dev, n, n)
         )
-        return vol_loc, count[None]
+        return vol_loc, count[None], viol[None]
 
-    vol, counts = shard_map(
+    vol, counts, viols = shard_map(
         device_fn,
         mesh=mesh,
         in_specs=(P(),) + tuple(P() for _ in weights),
-        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
         check_vma=False,
     )(params, *weights)
-    return vol, counts[0]
+    return vol, counts[0], viols[0]
 
 
 def sparse_sharded_grid_eval(
@@ -269,9 +284,13 @@ def sparse_sharded_grid_eval(
     use_pallas: bool = True,
     mxu_precision: str = "default",
     return_count: bool = False,
+    on_violation: str = "dense",
 ):
     """Sparse hierarchical grid eval with ACTIVE BLOCKS sharded over the
-    mesh (the multi-chip form of ops.sparse_grid.sparse_grid_eval).
+    mesh (the multi-chip form of ops.sparse_grid.sparse_grid_eval;
+    ``on_violation`` has the same semantics — the runtime certificate is
+    evaluated on the replicated coarse field, the dense response re-runs
+    ``sharded_grid_eval``).
 
     Every device coarse-sweeps its slice of block centers (all_gather to
     replicate the tiny coarse field), refines an equal contiguous slice of
@@ -300,13 +319,34 @@ def sparse_sharded_grid_eval(
     )
     k_max = -(-k_max // quantum) * quantum
 
+    if on_violation not in ("dense", "error", "warn"):
+        raise ValueError(f"on_violation={on_violation!r}")
     while True:
-        vol, count = _sparse_sharded_device(
+        vol, count, viol = _sparse_sharded_device(
             model, params, n, block, k_max, tile_blocks, float(safety),
             float(eps), mesh, compute_dtype, interpret, use_pallas,
             mxu_precision,
         )
         count = int(count)
+        viol = int(viol)
+        if viol > 0:
+            msg = (
+                f"sparse_sharded_grid_eval certificate: {viol} adjacent "
+                f"inactive block pair(s) disagree in center sign at n={n}, "
+                f"block={block}, safety={safety}"
+            )
+            if on_violation == "error":
+                raise ValueError(msg)
+            print(f"[sharded_eval] {msg}; "
+                  + ("re-evaluating densely" if on_violation == "dense"
+                     else "proceeding (on_violation='warn')"),
+                  flush=True)
+            if on_violation == "dense":
+                vol = sharded_grid_eval(
+                    model, params, n, mesh, compute_dtype=compute_dtype,
+                    interpret=interpret, use_pallas=use_pallas,
+                )
+                break
         if count <= k_max:
             _KMAX_CACHE_SHARDED[cache_key] = k_max
             break

@@ -142,6 +142,31 @@ def _sparse_grid_device(
     (ids,) = jnp.nonzero(mask, size=k_max, fill_value=0)
     ids = ids.astype(jnp.int32)
 
+    # --- certificate: no pair of adjacent INACTIVE blocks may disagree in
+    # center sign — that would prove a zero crossing between two centers the
+    # selection skipped (the segment between adjacent centers only passes
+    # through those two blocks). For a field of local Lipschitz L the pair
+    # violates |c_a - c_b| > 2*tau only when L > safety*sqrt(3)*(block+1)/
+    # block (~1.95*safety), so fields within the assumed bound can NEVER
+    # trip it: zero false positives by construction, and it fires exactly
+    # when the safety assumption materially failed (e.g. Siren-sharp
+    # fields). Cost: three shifted compares over the (nb, nb, nb) coarse
+    # grid — noise next to the refinement pass.
+    c3 = (coarse <= 0.0).reshape(nb, nb, nb)
+    i3 = jnp.logical_not(mask).reshape(nb, nb, nb)
+    viol = jnp.int32(0)
+    for ax in range(3):
+        lo = [slice(None)] * 3
+        hi = [slice(None)] * 3
+        lo[ax] = slice(None, -1)
+        hi[ax] = slice(1, None)
+        bad = (
+            (c3[tuple(lo)] != c3[tuple(hi)])
+            & i3[tuple(lo)]
+            & i3[tuple(hi)]
+        )
+        viol = viol + jnp.sum(bad.astype(jnp.int32))
+
     # --- Pallas refinement over active blocks ---
     weights, spec, _ = prepare_fused_weights(model, params, compute_dtype)
     tile_p = tile_blocks * pts
@@ -181,7 +206,7 @@ def _sparse_grid_device(
         .transpose(0, 3, 1, 4, 2, 5)
         .reshape(n, n, n)
     )
-    return vol, count
+    return vol, count, viol
 
 
 def sparse_grid_eval(
@@ -197,6 +222,7 @@ def sparse_grid_eval(
     interpret: bool = False,
     mxu_precision: str = "default",
     return_count: bool = False,
+    on_violation: str = "dense",
 ):
     """Sparse hierarchical SDF evaluation of the dense n^3 grid.
 
@@ -206,10 +232,33 @@ def sparse_grid_eval(
     exceeds the static budget, the call transparently re-runs with a larger
     budget (recompile) and finally falls back to dense when >50% of blocks
     are active.
+
+    The defaults safety=1.5 / eps=0.01 come from a round-3 sweep over the
+    shipped trained nets (mesh-exactness held at 1.5 and 1.25, failed at
+    1.0 — RESULTS.md). Because that margin is empirical, every call also
+    runs a runtime CERTIFICATE: two adjacent inactive blocks whose center
+    signs disagree prove a missed crossing (possible only when the field's
+    local Lipschitz exceeds ~1.95x ``safety``). ``on_violation`` picks the
+    response: "dense" (default) re-evaluates the whole grid densely —
+    exactness is restored at dense-eval cost — with a printed warning;
+    "error" raises ValueError; "warn" only prints. Role match: the octree
+    refinement correctness contract of reference
+    ops/DeepTrace/src/deeptrace.cpp:59-81.
     """
     if n % block:
         raise ValueError(f"n={n} must be divisible by block={block}")
+    if on_violation not in ("dense", "error", "warn"):
+        raise ValueError(f"on_violation={on_violation!r}")
     nb3 = (n // block) ** 3
+
+    def _dense():
+        from .pallas_mlp import fused_grid_eval
+
+        return jnp.asarray(fused_grid_eval(
+            model, params, n, compute_dtype=compute_dtype,
+            interpret=interpret, mxu_precision=mxu_precision,
+        ))
+
     # start from the last settled budget for this static shape: without the
     # cache EVERY call would re-pay a wasted undersized pass before growing
     # (~0.6 s at 512^3), and thanks to the in-kernel early exit an oversized
@@ -222,22 +271,34 @@ def sparse_grid_eval(
     k_max = -(-k_max // tile_blocks) * tile_blocks
 
     while True:
-        vol, count = _sparse_grid_device(
+        vol, count, viol = _sparse_grid_device(
             model, params, n, block, k_max, tile_blocks, float(safety),
             float(eps), compute_dtype, interpret, mxu_precision,
         )
         count = int(count)
+        viol = int(viol)
+        if viol > 0:
+            msg = (
+                f"sparse_grid_eval certificate: {viol} adjacent inactive "
+                f"block pair(s) disagree in center sign at n={n}, "
+                f"block={block}, safety={safety} — the field's local "
+                "Lipschitz exceeds the selection margin and the sparse "
+                "sweep WOULD have missed surface"
+            )
+            if on_violation == "error":
+                raise ValueError(msg)
+            print(f"[sparse_grid] {msg}; "
+                  + ("re-evaluating densely" if on_violation == "dense"
+                     else "proceeding (on_violation='warn')"),
+                  flush=True)
+            if on_violation == "dense":
+                vol = _dense()
+                break
         if count <= k_max:
             _KMAX_CACHE[cache_key] = k_max
             break
         if count > nb3 // 2:
-            from .pallas_mlp import fused_grid_eval
-
-            vol = fused_grid_eval(
-                model, params, n, compute_dtype=compute_dtype,
-                interpret=interpret, mxu_precision=mxu_precision,
-            )
-            vol = jnp.asarray(vol)
+            vol = _dense()
             break
         k_max = -(-int(count * 1.25) // tile_blocks) * tile_blocks
     if return_count:

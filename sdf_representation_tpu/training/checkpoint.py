@@ -38,12 +38,50 @@ def save_checkpoint(path: str, state: Dict[str, Any]) -> None:
     os.replace(tmp, path)
 
 
+def _align_to_template(template, raw, path="state"):
+    """Recursively shape `raw` (a msgpack_restore'd tree) into `template`'s
+    structure: extra dict keys in the checkpoint are dropped with a warning
+    (e.g. the legacy KAN "adaptive_grid" marker), missing keys raise."""
+    if isinstance(template, dict):
+        if not isinstance(raw, dict):
+            raise ValueError(f"{path}: checkpoint has {type(raw).__name__}, "
+                             f"template expects dict")
+        extra = set(raw) - set(template)
+        if extra:
+            print(f"[checkpoint] {path}: ignoring extra keys {sorted(extra)}",
+                  flush=True)
+        return {
+            k: _align_to_template(template[k], raw[k], f"{path}.{k}")
+            for k in template
+        }
+    if isinstance(template, (list, tuple)):
+        vals = list(raw.values()) if isinstance(raw, dict) else list(raw)
+        if len(vals) != len(template):
+            raise ValueError(f"{path}: length {len(vals)} != template "
+                             f"{len(template)}")
+        out = [
+            _align_to_template(t, v, f"{path}[{i}]")
+            for i, (t, v) in enumerate(zip(template, vals))
+        ]
+        return type(template)(out) if isinstance(template, tuple) else out
+    return raw
+
+
 def load_checkpoint(path: str, template: Dict[str, Any]) -> Dict[str, Any]:
     """Restore into the structure of `template` (shapes/dtypes validated by
-    flax.serialization)."""
+    flax.serialization). Checkpoints whose dicts carry EXTRA keys relative
+    to the template (older formats) are aligned by dropping the extras."""
     with open(path, "rb") as f:
         data = f.read()
-    return serialization.from_bytes(template, data)
+    try:
+        return serialization.from_bytes(template, data)
+    except (ValueError, KeyError):
+        raw = serialization.msgpack_restore(data)
+        aligned = _align_to_template(template, raw)
+        # round-trip through from_bytes for flax's shape/dtype validation
+        return serialization.from_bytes(
+            template, serialization.to_bytes(aligned)
+        )
 
 
 def latest_epoch_checkpoint(model_dir: str) -> Optional[Tuple[str, int]]:

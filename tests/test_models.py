@@ -167,10 +167,13 @@ def test_kan_bspline_uniform_closed_form_matches_recursion():
             np.testing.assert_allclose(a, b, atol=2e-5)
 
 
-def test_kan_apply_adaptive_marker_dispatch():
-    """After update_grid the params carry the adaptive-grid marker and apply
-    must follow the (non-uniform) stored knots, not the static default grid."""
-    from sdf_representation_tpu.models.kan import KAN
+def test_kan_apply_adaptive_grid_dispatch():
+    """apply dispatches on the grid VALUES: after update_grid it must follow
+    the (non-uniform) stored knots, not the static default grid — without
+    changing the params pytree structure (checkpoint templates stay valid)."""
+    import jax.tree_util as jtu
+
+    from sdf_representation_tpu.models.kan import KAN, b_splines
 
     m = KAN(layers_hidden=(3, 8, 1), grid_size=8)
     params = m.init(jax.random.PRNGKey(0))
@@ -178,10 +181,80 @@ def test_kan_apply_adaptive_marker_dispatch():
         jax.random.PRNGKey(1), (64, 3), minval=-0.5, maxval=0.5
     )
     params2 = m.update_grid(params, x)
-    assert all("adaptive_grid" in p for p in params2["layers"])
-    # jit recompiles on the new structure and still produces finite output
-    out = jax.jit(m.apply)(params2, x)
-    assert np.all(np.isfinite(np.asarray(out)))
+    # structure unchanged: adapted params restore into the init template
+    assert (jtu.tree_structure(params2) == jtu.tree_structure(params))
+    out = np.asarray(jax.jit(m.apply)(params2, x))
+    assert np.all(np.isfinite(out))
+    # apply must equal the hand-computed general-recursion path on the
+    # STORED knots (i.e. the fast uniform branch must NOT have been taken)
+    h = x
+    for spec, p in zip(m.layer_specs, params2["layers"]):
+        bases = b_splines(h, p["grid"], spec.spline_order)
+        spline = jnp.einsum("bic,ico->bo", bases, spec.scaled_spline_w(p))
+        h = jax.nn.silu(h) @ p["base_w"] + spline
+    np.testing.assert_allclose(out, np.asarray(h[..., 0]), atol=1e-5)
+    # and the grids really did leave the default (the branch is exercised)
+    assert any(
+        not np.array_equal(np.asarray(p["grid"]),
+                           np.asarray(spec.default_grid()))
+        for spec, p in zip(m.layer_specs, params2["layers"])
+    )
+
+
+def test_kan_checkpoint_roundtrip_after_update_grid(tmp_path):
+    """Regression: saving adapted params and restoring through the
+    init-derived template must work AND keep evaluating on the adapted
+    knots (legacy marker checkpoints broke both)."""
+    from sdf_representation_tpu.models.kan import KAN
+    from sdf_representation_tpu.training.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    m = KAN(layers_hidden=(3, 8, 1), grid_size=8)
+    params = m.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(
+        jax.random.PRNGKey(1), (64, 3), minval=-0.5, maxval=0.5
+    )
+    params2 = m.update_grid(params, x)
+    path = str(tmp_path / "kan.ckpt")
+    save_checkpoint(path, {"params": params2})
+    restored = load_checkpoint(path, {"params": params})["params"]
+    np.testing.assert_allclose(
+        np.asarray(m.apply(restored, x)),
+        np.asarray(m.apply(params2, x)), atol=1e-6,
+    )
+
+
+def test_kan_legacy_marker_checkpoint_restores(tmp_path):
+    """Checkpoints written by the round-3 format (extra 'adaptive_grid'
+    key per layer) restore through the alignment fallback and evaluate on
+    the stored adapted knots."""
+    from sdf_representation_tpu.models.kan import KAN
+    from sdf_representation_tpu.training.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    m = KAN(layers_hidden=(3, 8, 1), grid_size=8)
+    params = m.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(
+        jax.random.PRNGKey(1), (64, 3), minval=-0.5, maxval=0.5
+    )
+    params2 = m.update_grid(params, x)
+    legacy = {
+        "layers": [
+            dict(p, adaptive_grid=np.zeros((), np.bool_))
+            for p in params2["layers"]
+        ]
+    }
+    path = str(tmp_path / "kan_legacy.ckpt")
+    save_checkpoint(path, {"params": legacy})
+    restored = load_checkpoint(path, {"params": params})["params"]
+    np.testing.assert_allclose(
+        np.asarray(m.apply(restored, x)),
+        np.asarray(m.apply(params2, x)), atol=1e-6,
+    )
 
 
 def test_kan_update_grid_preserves_function():

@@ -162,3 +162,46 @@ def test_culled_sharded_over_virtual_mesh():
     )
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
     assert np.all(np.sign(got) == np.sign(ref))
+
+
+def test_tiling_validation_raises_in_drivers():
+    """The stream drivers must refuse tilings their strip loops cannot
+    cover (tri_chunk not a multiple of 128 / too small, point_chunk with a
+    lane remainder) instead of silently dropping triangles."""
+    from sdf_representation_tpu.ops.pallas_streams import (
+        dist_stream_pallas,
+        stream_tiling_ok,
+        wind_stream_pallas,
+    )
+
+    assert stream_tiling_ok(128, 256)
+    assert stream_tiling_ok(1024, 2048)
+    assert not stream_tiling_ok(1000, 256)   # tri remainder
+    assert not stream_tiling_ok(64, 256)     # below one strip
+    assert not stream_tiling_ok(256, 1500)   # lane remainder vs 1024
+    P = np.zeros((1, 256, 3), np.float32)
+    sb = np.zeros(1, np.int32)
+    sc = np.zeros(1, np.int32)
+    tables = {"a": np.zeros((1, 1000), np.float32)}
+    with pytest.raises(ValueError):
+        dist_stream_pallas(P, sb, sc, tables, tri_chunk=1000)
+    with pytest.raises(ValueError):
+        wind_stream_pallas(P, sb, sc, tables, tri_chunk=64)
+
+
+def test_culled_nontileable_tri_chunk_stays_exact():
+    """signed_distance_culled(use_pallas=True, tri_chunk=1000) must divert
+    to the XLA streams and return exact results (regression: the kernels
+    previously auto-shrank 1000 -> 7*128 and returned garbage)."""
+    from sdf_representation_tpu.ops.sdf_culled import signed_distance_culled
+
+    mesh = make_icosphere(subdivisions=3, radius=0.6)
+    rng = np.random.default_rng(7)
+    pts = rng.uniform(-1, 1, (2000, 3))
+    ref, _ = signed_distance_culled(
+        pts, mesh, point_chunk=512, tri_chunk=256, use_pallas=False
+    )
+    got, _ = signed_distance_culled(
+        pts, mesh, point_chunk=512, tri_chunk=1000, use_pallas=True
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)

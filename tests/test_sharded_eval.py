@@ -154,3 +154,36 @@ def test_sparse_sharded_rejects_indivisible_block_grid(sdf_model_params):
     with pytest.raises(ValueError):
         # nb = 3 does not split over 2 devices
         sparse_sharded_grid_eval(model, params, 24, get_mesh(2))
+
+
+def test_sharded_certificate_detects_lipschitz_violation():
+    """The sharded sparse path must run the same runtime certificate as the
+    single-device one (steep plane field -> detect, default -> exact)."""
+    import jax.numpy as jnp
+
+    from sdf_representation_tpu.ops.sharded_eval import (
+        sharded_grid_eval,
+        sparse_sharded_grid_eval,
+    )
+    from sdf_representation_tpu.parallel.mesh import get_mesh
+    from tests.test_sparse_grid import _steep_plane_params
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    mesh = get_mesh()
+    model = ImplicitNet(d_in=3, hidden_dims=(8,), skip_in=(), beta=100.0)
+    params = _steep_plane_params(model)
+    with pytest.raises(ValueError, match="certificate"):
+        sparse_sharded_grid_eval(
+            model, params, 64, mesh, compute_dtype=jnp.float32,
+            interpret=True, use_pallas=False, on_violation="error",
+        )
+    vol = sparse_sharded_grid_eval(
+        model, params, 64, mesh, compute_dtype=jnp.float32,
+        interpret=True, use_pallas=False,
+    )
+    ref = sharded_grid_eval(
+        model, params, 64, mesh, compute_dtype=jnp.float32,
+        interpret=True, use_pallas=False,
+    )
+    np.testing.assert_array_equal(np.asarray(vol), np.asarray(ref))

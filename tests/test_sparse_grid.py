@@ -139,3 +139,59 @@ def test_budget_cache_oversize_is_harmless():
     ref2 = np.asarray(ref2).reshape(-1)
     mask = np.abs(ref2) < 0.05  # near-shell values are from refined blocks
     np.testing.assert_array_equal(v2[mask], ref2[mask])
+
+
+def _steep_plane_params(model, slope=20.0, offset=4.0):
+    """Hand-built params realizing f(x) = slope * x0 (local Lipschitz =
+    slope >> safety): unit 0 computes softplus_beta(x0 + offset) = x0 +
+    offset exactly (beta=100 saturates linear), the head rescales and
+    recenters. All other units are dead (zero weights/bias)."""
+    params = model.init(jax.random.PRNGKey(0))
+    w0 = np.zeros(params["layers"][0]["w"].shape, np.float32)
+    b0 = np.zeros(params["layers"][0]["b"].shape, np.float32)
+    w0[0, 0] = 1.0
+    b0[0] = offset
+    w1 = np.zeros(params["layers"][1]["w"].shape, np.float32)
+    b1 = np.zeros(params["layers"][1]["b"].shape, np.float32)
+    w1[0, 0] = slope
+    b1[0] = -slope * offset
+    params["layers"][0] = {"w": jnp.asarray(w0), "b": jnp.asarray(b0)}
+    params["layers"][1] = {"w": jnp.asarray(w1), "b": jnp.asarray(b1)}
+    return params
+
+
+def test_certificate_detects_lipschitz_violation():
+    """A field whose local Lipschitz exceeds the safety margin (f = 20*x0,
+    zero crossing midway between two block centers that both clear the
+    activity threshold) must be DETECTED, not silently mis-meshed."""
+    model = ImplicitNet(d_in=3, hidden_dims=(8,), skip_in=(), beta=100.0)
+    params = _steep_plane_params(model)
+    # sanity: the engineered field really is f = 20*x0
+    probe = jnp.asarray([[0.1, 0.3, -0.2], [-0.4, 0.0, 0.9]], jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(model.apply(params, probe)), [2.0, -8.0], atol=1e-4
+    )
+    with pytest.raises(ValueError, match="certificate"):
+        sparse_grid_eval(
+            model, params, 32, compute_dtype=jnp.float32, interpret=True,
+            on_violation="error",
+        )
+    # default response: transparent dense re-evaluation — result is exact
+    vol = sparse_grid_eval(
+        model, params, 32, compute_dtype=jnp.float32, interpret=True,
+    )
+    dense = fused_grid_eval(model, params, 32, compute_dtype=jnp.float32,
+                            interpret=True)
+    np.testing.assert_array_equal(np.asarray(vol), np.asarray(dense))
+
+
+def test_certificate_no_false_positive_on_sdf_like_field():
+    """The certificate must stay silent on realistic (Lipschitz ~ 1)
+    fields: on_violation='error' must not raise for the geometric-init
+    net the mesh-equality tests use."""
+    model, params = _model_and_params()
+    vol = sparse_grid_eval(
+        model, params, 32, compute_dtype=jnp.float32, interpret=True,
+        on_violation="error",
+    )
+    assert np.all(np.isfinite(np.asarray(vol)))
