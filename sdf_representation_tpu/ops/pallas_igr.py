@@ -478,3 +478,42 @@ def make_fused_value_and_grad(
 
     vag.defvjp(fwd_rule, bwd_rule)
     return vag
+
+
+def make_fused_value_and_grad_sharded(model: ImplicitNet, mesh, **kw):
+    """``make_fused_value_and_grad`` over a device mesh: shard_map the
+    single-device kernel along the 'data' axis (the kernel is per-point),
+    params replicated. The shard_map transpose psums the params cotangent
+    across the axis, so the custom VJP composes with data-parallel
+    training exactly like the XLA derivation (tests/test_sharding.py
+    proves gradient equality). Point counts that do not divide the mesh
+    are zero-padded and sliced back — pad rows carry zero cotangent.
+
+    Role match: torch.autograd.grad inside nn.DataParallel, reference
+    model/losses.py:283-296 + executor/executor.py:53-55."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS
+
+    fused = make_fused_value_and_grad(model, **kw)
+    n_dev = mesh.devices.size
+    mapped = shard_map(
+        fused,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS)),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        check_vma=False,  # pallas outputs carry no vma annotation
+    )
+
+    def vag(params, x):
+        n = x.shape[0]
+        n_pad = -(-n // n_dev) * n_dev
+        if n_pad != n:
+            x = jnp.concatenate(
+                [x, jnp.zeros((n_pad - n, x.shape[1]), x.dtype)]
+            )
+        v, g = mapped(params, x)
+        return v[:n], g[:n]
+
+    return vag

@@ -59,16 +59,17 @@ class PointCloudTrainer(Trainer):
         from .trainer import _bind_apply
 
         # fused Pallas eikonal VJP under the same opt-in as the main trainer:
-        # mixed precision requested, unsharded, real TPU backend, and NOT
-        # the Lipschitz variant (the kernel backward produces {w,b} grads
-        # only — see make_train_step)
+        # mixed precision requested, real TPU backend, and NOT the
+        # Lipschitz variant (the kernel backward produces {w,b} grads
+        # only — see make_train_step). Sharded steps run the kernel
+        # per-device via shard_map (see trainer._bind_apply).
         prec = getattr(self.config, "train_matmul_precision", None)
         pallas_igr = (
-            prec == "bfloat16" and mesh is None
+            prec == "bfloat16"
             and not getattr(model, "lipschitz", False)
             and jax.default_backend() not in ("cpu",)
         )
-        apply_fn = _bind_apply(model, None, pallas_igr=pallas_igr)
+        apply_fn = _bind_apply(model, None, pallas_igr=pallas_igr, mesh=mesh)
 
         def loss_fn(params, xb, rng):
             pred = apply_fn(params, xb)

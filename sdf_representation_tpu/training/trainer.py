@@ -48,12 +48,21 @@ from . import checkpoint as ckpt
 # jitted step/epoch factories (also used by __graft_entry__ and tests)
 # ---------------------------------------------------------------------------
 
-def _bind_apply(model, rng, pallas_igr: bool = False):
+def _bind_apply(model, rng, pallas_igr: bool = False, mesh=None):
     """Per-step apply closure; models with dropout get the step rng.
     ImplicitNet closures advertise a forward-gradient fast path consumed by
     sdf_and_gradient_fwd (eikonal/normal losses): the XLA shared-matmul
     derivation by default, or — when ``pallas_igr`` — the fused Pallas
-    custom-VJP kernels (ops/pallas_igr, 1.6x IGRLOSS epoch throughput)."""
+    custom-VJP kernels (ops/pallas_igr, 1.6x IGRLOSS epoch throughput).
+
+    Under a device mesh the fused kernel is shard_map'd over the 'data'
+    axis: the kernel is per-point, so each device runs the identical
+    single-device program on its batch shard with params replicated; the
+    shard_map transpose psums the params cotangent across the axis (the
+    same all-reduce XLA inserts for the rest of the step), so multi-chip
+    DP training keeps the fused kernel instead of silently dropping to
+    the XLA derivation. Role match: torch.autograd.grad inside
+    DataParallel, reference model/losses.py:283-296 + executor.py:53-55."""
     import inspect
 
     from ..models.implicit_net import ImplicitNet as _INet
@@ -63,9 +72,19 @@ def _bind_apply(model, rng, pallas_igr: bool = False):
     fn = lambda p, x: model.apply(p, x)
     if isinstance(model, _INet):
         if pallas_igr:
-            from ..ops.pallas_igr import make_fused_value_and_grad
+            from ..ops.pallas_igr import (
+                make_fused_value_and_grad,
+                make_fused_value_and_grad_sharded,
+            )
 
-            fn._implicitnet_fast = make_fused_value_and_grad(model)
+            interp = jax.default_backend() == "cpu"
+            if mesh is not None and mesh.devices.size > 1:
+                fused = make_fused_value_and_grad_sharded(
+                    model, mesh, interpret=interp
+                )
+            else:
+                fused = make_fused_value_and_grad(model, interpret=interp)
+            fn._implicitnet_fast = fused
         else:
             from ..ops.diffops import implicitnet_value_and_grad
 
@@ -106,8 +125,8 @@ def make_train_step(
 
     pallas_igr: use the fused Pallas custom-VJP kernels for the eikonal
     losses' forward-gradient (ops/pallas_igr). None = auto: on when running
-    on a real TPU backend in mixed precision on an unsharded step (the
-    kernels are single-device; the mesh path keeps the XLA derivation).
+    on a real TPU backend in mixed precision (single-device, or shard_map'd
+    per-device over the mesh — see _bind_apply).
     """
     mixed = matmul_precision == "bfloat16"
     lipschitz = getattr(model, "lipschitz", False)
@@ -115,7 +134,7 @@ def make_train_step(
         # the Pallas training kernels consume raw weights; the Lipschitz
         # variant's on-the-fly row normalisation keeps the XLA path
         pallas_igr = (
-            mixed and mesh is None and not lipschitz
+            mixed and not lipschitz
             and jax.default_backend() not in ("cpu",)
         )
 
@@ -124,7 +143,8 @@ def make_train_step(
         yb = shard_batch(yb, mesh)
 
         def objective(tr):
-            apply_fn = _bind_apply(model, rng, pallas_igr=pallas_igr)
+            apply_fn = _bind_apply(model, rng, pallas_igr=pallas_igr,
+                                   mesh=mesh)
             if mixed:
                 inner = apply_fn
                 wrapped = lambda p, x, _f=inner: _f(

@@ -84,3 +84,89 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_sharded_fused_eikonal_matches_single_device():
+    """VERDICT r3 item 3: the fused Pallas eikonal VJP must keep working
+    under the device mesh (shard_map per-device) — one DP step with
+    pallas_igr=True must match the single-device fused step on loss and
+    updated params. IGRLoss's sample count (n + n//8) deliberately does
+    not divide 8 evenly for n=288 (288+36=324), exercising the pad path."""
+    model, params, x, y = setup(n=288)
+    loss = IGRLOSS()
+    optimizer = optax.adam(1e-3)
+    trainable = {"params": params, "aux": {}}
+    opt_state = optimizer.init(trainable)
+
+    step_single = jax.jit(make_train_step(
+        model, loss, optimizer, mesh=None, pallas_igr=True))
+    t1, _, l1 = step_single(trainable, opt_state, x, y,
+                            jax.random.PRNGKey(0), 0)
+
+    mesh = get_mesh(8)
+    tr_r = jax.device_put(trainable, replicated_sharding(mesh))
+    os_r = jax.device_put(opt_state, replicated_sharding(mesh))
+    xs = jax.device_put(x, data_sharding(mesh))
+    ys = jax.device_put(y, data_sharding(mesh))
+    step_dp = jax.jit(make_train_step(
+        model, loss, optimizer, mesh=mesh, pallas_igr=True))
+    t8, _, l8 = step_dp(tr_r, os_r, xs, ys, jax.random.PRNGKey(0), 0)
+
+    assert float(l1) == pytest.approx(float(l8), rel=1e-5)
+    for li in range(len(t1["params"]["layers"])):
+        np.testing.assert_allclose(
+            np.asarray(t1["params"]["layers"][li]["w"]),
+            np.asarray(t8["params"]["layers"][li]["w"]),
+            rtol=1e-4, atol=1e-6,
+        )
+
+
+@pytest.mark.parametrize("n", [512, 328])  # 328: samples 369 % 8 != 0 -> pad path
+def test_sharded_fused_eikonal_grads_match_single_device(n):
+    """Raw PARAMETER GRADIENTS through the shard_map'd fused kernel must
+    equal the single-device fused kernel AND the XLA shared-matmul
+    derivation (f32 kernels; post-Adam params comparisons are blind to a
+    missing psum because Adam's first step is scale-invariant)."""
+    from sdf_representation_tpu.ops.diffops import implicitnet_value_and_grad
+    from sdf_representation_tpu.ops.pallas_igr import (
+        make_fused_value_and_grad,
+        make_fused_value_and_grad_sharded,
+    )
+
+    model, params, x, y = setup(n=n)
+    loss = IGRLOSS()
+    mesh = get_mesh(8)
+    vag_single = make_fused_value_and_grad(
+        model, compute_dtype=jnp.float32, interpret=True
+    )
+    vag_sharded = make_fused_value_and_grad_sharded(
+        model, mesh, compute_dtype=jnp.float32, interpret=True
+    )
+    xla_ref = lambda p, xx: implicitnet_value_and_grad(model, p, xx)
+
+    def grads_with(fast, xx):
+        fn = lambda p, z: model.apply(p, z)
+        fn._implicitnet_fast = fast
+        return jax.jit(jax.value_and_grad(
+            lambda p: loss(p, fn, xx, y, 0, rng=jax.random.PRNGKey(3))
+        ))(params)
+
+    l_ref, g_ref = grads_with(xla_ref, x)
+    l_one, g_one = grads_with(vag_single, x)
+    xs = jax.device_put(x, data_sharding(mesh))
+    pr = jax.device_put(params, replicated_sharding(mesh))
+    fn = lambda p, z: model.apply(p, z)
+    fn._implicitnet_fast = vag_sharded
+    l_shd, g_shd = jax.jit(jax.value_and_grad(
+        lambda p: loss(p, fn, xs, y, 0, rng=jax.random.PRNGKey(3))
+    ))(pr)
+
+    assert float(l_shd) == pytest.approx(float(l_one), rel=1e-5)
+    assert float(l_shd) == pytest.approx(float(l_ref), rel=1e-4)
+    for a, b, c in zip(jax.tree_util.tree_leaves(g_one),
+                       jax.tree_util.tree_leaves(g_shd),
+                       jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(c),
+                                   rtol=5e-4, atol=5e-5)
