@@ -21,11 +21,14 @@
 #include <cmath>
 #include <cstdio>
 #include <fstream>
+#include <functional>
 #include <map>
+#include <memory>
 #include <sstream>
 #include <string>
 #include <vector>
 
+#include "onnx_net.hpp"
 #include "sdfnet.hpp"
 
 namespace {
@@ -109,13 +112,28 @@ int main(int argc, char** argv) {
       return 0;
     }
     std::string model_file = cfg.str("ModelFileName", "model.sdfw");
-    // the reference config names model.onnx; the native runtime consumes the
-    // .sdfw exported alongside it
+    // model.onnx is consumed DIRECTLY (onnx_net.hpp wire reader +
+    // forward-mode interpreter — the reference's ORT role,
+    // reference ops/DeepTrace/src/deeptrace.cpp:30-71); .sdfw takes the
+    // optimized register-blocked runtime (sdfnet.hpp)
+    std::function<void(const float*, std::size_t, float*, float*)> eval;
+    std::shared_ptr<void> net_holder;
     if (model_file.size() > 5 &&
-        model_file.substr(model_file.size() - 5) == ".onnx")
-      model_file = model_file.substr(0, model_file.size() - 5) + ".sdfw";
-
-    auto net = sdfnet::ImplicitNet::load(model_file);
+        model_file.substr(model_file.size() - 5) == ".onnx") {
+      auto net = std::make_shared<onnxnet::Model>(
+          onnxnet::Model::load(model_file));
+      net_holder = net;
+      eval = [net](const float* p, std::size_t n, float* s, float* g) {
+        net->evaluate(p, n, s, g);
+      };
+    } else {
+      auto net = std::make_shared<sdfnet::ImplicitNet>(
+          sdfnet::ImplicitNet::load(model_file));
+      net_holder = net;
+      eval = [net](const float* p, std::size_t n, float* s, float* g) {
+        net->evaluate(p, n, s, g);
+      };
+    }
     auto lo = cfg.vec3("cubeDomainMin", {-1.0, -1.0, -1.0});
     auto hi = cfg.vec3("cubeDomainMax", {1.0, 1.0, 1.0});
     int lvl_uni = static_cast<int>(cfg.integer("refine_lvl_uni", 3));
@@ -156,7 +174,7 @@ int main(int argc, char** argv) {
           pts[i * 3 + 2] = static_cast<float>(evaluate_cells[i].cz);
         }
         std::vector<float> sdf(evaluate_cells.size());
-        net.evaluate(pts.data(), evaluate_cells.size(), sdf.data());
+        eval(pts.data(), evaluate_cells.size(), sdf.data(), nullptr);
         for (std::size_t i = 0; i < evaluate_cells.size(); ++i) {
           const Cell& c = evaluate_cells[i];
           double diag = c.half * std::sqrt(3.0);
@@ -178,7 +196,7 @@ int main(int argc, char** argv) {
       pts[i * 3 + 1] = static_cast<float>(leaves[i].cy);
       pts[i * 3 + 2] = static_cast<float>(leaves[i].cz);
     }
-    net.evaluate(pts.data(), leaves.size(), sdf.data(), grads.data());
+    eval(pts.data(), leaves.size(), sdf.data(), grads.data());
 
     std::vector<std::vector<float>> cells(leaves.size()), points(leaves.size());
     std::size_t n_boundary = 0;

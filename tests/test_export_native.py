@@ -138,10 +138,12 @@ def test_native_parity_relu_mode(tmp_path, native_build):
 
 def test_deeptrace_octree(tmp_path, model_and_params, native_build):
     """The octree engine refines around the learned surface (config.txt format
-    of the reference sample, ops/DeepTrace/sample_inputs/config.txt)."""
+    of the reference sample, ops/DeepTrace/sample_inputs/config.txt) —
+    consuming model.onnx DIRECTLY like the reference's ORT bridge
+    (reference ops/DeepTrace/src/deeptrace.cpp:30-71)."""
     model, params = model_and_params
     out = str(tmp_path)
-    save_for_native(out, model, params, onnx=False)
+    save_for_native(out, model, params, onnx=True)
     cfg = tmp_path / "config.txt"
     cfg.write_text(
         """#################### Refinement setting ####################
@@ -232,3 +234,67 @@ def test_native_parity_lipschitz(tmp_path, native_build):
     ref_out = np.loadtxt(fixtures["output"], delimiter=",")
     got_out = np.loadtxt(cpp_out, delimiter=",")
     np.testing.assert_allclose(got_out, ref_out, rtol=1e-4, atol=1e-5)
+
+
+def test_deeptrace_onnx_matches_sdfw(tmp_path, model_and_params, native_build):
+    """The native ONNX wire reader (onnx_net.hpp) and the optimized .sdfw
+    runtime must produce the same octree and f32-eps-equal SDF + analytic
+    gradients for the same checkpoint — closing the reference's model.onnx
+    artifact contract end-to-end in this image."""
+    model, params = model_and_params
+    out = str(tmp_path)
+    save_for_native(out, model, params, onnx=True)
+    results = {}
+    for kind in ("onnx", "sdfw"):
+        sub = tmp_path / kind
+        sub.mkdir()
+        cfg = sub / "config.txt"
+        cfg.write_text(
+            f"refine_lvl_uni = 2\nrefine_lvl_bd = 4\n"
+            f"cubeDomainMin = [-1.0, -1.0, -1.0]\n"
+            f"cubeDomainMax = [1.0, 1.0, 1.0]\n"
+            f'ModelFileName = "{out}/model.{kind}"\n'
+            f"useDeepLearning = true\n"
+        )
+        subprocess.run(
+            [os.path.join(native_build, "deeptrace"), str(cfg), str(sub)],
+            check=True, capture_output=True,
+        )
+        results[kind] = (
+            np.loadtxt(sub / "cells.csv", delimiter=","),
+            np.loadtxt(sub / "points.csv", delimiter=","),
+        )
+    cells_o, pts_o = results["onnx"]
+    cells_s, pts_s = results["sdfw"]
+    assert cells_o.shape == cells_s.shape  # identical refinement decisions
+    np.testing.assert_array_equal(cells_o[:, :5], cells_s[:, :5])
+    # SDF values and analytic gradients agree to f32 eps across runtimes
+    np.testing.assert_allclose(pts_o[:, 3], pts_s[:, 3], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(pts_o[:, 4:], pts_s[:, 4:], rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_deeptrace_onnx_relu_tanh_mode(tmp_path, native_build):
+    """ONNX consumption of the ReLU+Tanh variant (beta=0) — exercises the
+    Relu and Tanh interpreter ops end to end."""
+    model = ImplicitNet(
+        d_in=3, hidden_dims=(32,) * 3, skip_in=(), beta=0.0,
+        geometric_init=False,
+    )
+    params = model.init(jax.random.PRNGKey(1))
+    out = str(tmp_path)
+    save_for_native(out, model, params, onnx=True)
+    fixtures = write_parity_fixtures(out, model, params, n_points=64)
+    cfg = tmp_path / "config.txt"
+    cfg.write_text(
+        f"refine_lvl_uni = 1\nrefine_lvl_bd = 3\n"
+        f'ModelFileName = "{out}/model.onnx"\nuseDeepLearning = true\n'
+    )
+    subprocess.run(
+        [os.path.join(native_build, "deeptrace"), str(cfg), out],
+        check=True, capture_output=True,
+    )
+    pts = np.loadtxt(os.path.join(out, "points.csv"), delimiter=",")
+    # spot-check interpreter values against JAX at the leaf centers
+    ref = np.asarray(model.apply(params, pts[:, :3].astype(np.float32)))
+    np.testing.assert_allclose(pts[:, 3], ref, rtol=1e-4, atol=1e-5)
