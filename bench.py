@@ -82,29 +82,40 @@ def main():
 
     vol = sparse_grid_eval(model, params, n, compute_dtype=jnp.bfloat16)
     _force(vol)
-    md.marching_tets_device(vol, 0.0)  # compile + budget growth
+    md.marching_tets_device(vol, 0.0)  # compile + budget growth (exact)
+    md.marching_tets_device_packed(vol, 0.0)  # compile (packed wire)
     t0 = time.perf_counter()
     vol = sparse_grid_eval(model, params, n, compute_dtype=jnp.bfloat16)
     _force(vol)
     t_eval2 = time.perf_counter() - t0
-    fnm = md._get_march_device()
+    fnm = md._get_march_device()[0]
     budgets = md._BUDGET_CACHE[vol.shape]
     t0 = time.perf_counter()
     outm = fnm(vol, jnp.float32(0.0), *budgets)
     cv, ct = int(outm[8]), int(outm[9])
+    t_march_exact = time.perf_counter() - t0
+    del outm
+    # PACKED wire (the production fetch path): device runs stages 1-5 only,
+    # the host fetches sign bits + u16 t + block ids and rebuilds topology
+    fnp = md._get_march_device()[1]
+    b_max, c_max, m_max, v_max, t_max = md._BUDGET_CACHE[vol.shape]
+    t0 = time.perf_counter()
+    outp = fnp(vol, jnp.float32(0.0), b_max, c_max, v_max)
+    cb, cc, cvp = int(outp[3]), int(outp[4]), int(outp[5])
     t_march = time.perf_counter() - t0
     t0 = time.perf_counter()
-    vs_h = np.asarray(outm[0][:cv])
-    t_h = np.asarray(outm[1][:cv])
-    faces_h = [np.asarray(c[:ct]) for c in outm[2:5]]
+    words_h = np.asarray(outp[0][:cb])
+    tq_h = np.asarray(outp[1][:cvp])
+    bids_h = np.asarray(outp[2][:cb])
     t_fetch = time.perf_counter() - t0
-    wire_mb = (cv * 8 + ct * 12) / 1e6
+    wire_mb = (words_h.nbytes + tq_h.nbytes + bids_h.nbytes) / 1e6
     t0 = time.perf_counter()
-    md.decode_vertices(
-        vs_h.astype(np.int64), t_h.astype(np.float64), vol.shape,
-        (2.0 / (n - 1),) * 3, (-1.0,) * 3,
-    )
+    vs_h, t_h, faces_h = md.decode_packed_wire(words_h, tq_h, bids_h,
+                                               vol.shape)
+    md.decode_vertices(vs_h, t_h, vol.shape, (2.0 / (n - 1),) * 3,
+                       (-1.0,) * 3)
     t_decode = time.perf_counter() - t0
+    assert len(vs_h) == cv and len(faces_h) == ct, (len(vs_h), cv, ct)
     extract_device_s = t_eval2 + t_march
     extract_total_s = extract_device_s + t_fetch + t_decode
 
@@ -207,8 +218,11 @@ def main():
             "grid_points_per_sec_fused": round(n**3 / t_fused),
             "extract_device_s": round(extract_device_s, 4),
             "extract_march_s": round(t_march, 4),
+            "extract_march_exact_s": round(t_march_exact, 4),
             "extract_total_s": round(extract_total_s, 4),
-            "extract_wire_mb": round(wire_mb, 1),
+            "extract_fetch_s": round(t_fetch, 4),
+            "extract_decode_s": round(t_decode, 4),
+            "extract_wire_mb": round(wire_mb, 2),
             "extract_wire_mbps": round(wire_mb / max(t_fetch, 1e-9), 1),
             "extract_verts": cv,
             "extract_faces": ct,

@@ -69,8 +69,12 @@ def reconstruct_mesh(
             apply_fn, params, cubesize, chunk=chunk, compute_dtype=compute_dtype
         )
     spacing = 2.0 / (cubesize - 1)
+    # device volumes ride the packed wire (sign bits + u16 t): topology is
+    # identical, vertex positions within spacing/65535, and the fetch is
+    # ~10x smaller than shipping the emitted mesh
     verts, faces = marching_cubes(
-        vol, level=level, spacing=(spacing,) * 3, origin=(-1.0, -1.0, -1.0)
+        vol, level=level, spacing=(spacing,) * 3, origin=(-1.0, -1.0, -1.0),
+        wire="packed",
     )
     return Mesh(verts, faces)
 

@@ -198,11 +198,10 @@ def _get_march_device():
         )
         return jax.lax.cummax(seeded)
 
-    @partial(
-        jax.jit,
-        static_argnames=("b_max", "c_max", "m_max", "v_max", "t_max"),
-    )
-    def _march(vol, level, b_max, c_max, m_max, v_max, t_max):
+    def _stages15(vol, level, b_max, c_max, v_max):
+        """Stages 1-5 (live blocks, halo gather, edge bits, live-core
+        compaction, vertex t) — shared by the full extractor and the
+        packed-wire variant."""
         nx, ny, nz = vol.shape
         nbx, nby, nbz = -(-nx // _B), -(-ny // _B), -(-nz // _B)
         nb3 = nbx * nby * nbz
@@ -331,6 +330,27 @@ def _get_march_device():
         t = jnp.where(denom != 0, (level - va) / denom, jnp.float32(0.5))
         t = jnp.clip(t, 0.0, 1.0).astype(jnp.float32)
 
+        return dict(
+            nx=nx, ny=ny, nz=nz, nbx=nbx, nby=nby, nbz=nbz,
+            bids=bids, live_row=live_row, inv_block=inv_block,
+            gx0=gx0, gy0=gy0, gz0=gz0, sgb=sgb, CWf=CWf,
+            vslots=vslots, t=t,
+            count_b=count_b, count_c=count_c, count_v=count_v,
+        )
+
+    @partial(
+        jax.jit,
+        static_argnames=("b_max", "c_max", "m_max", "v_max", "t_max"),
+    )
+    def _march(vol, level, b_max, c_max, m_max, v_max, t_max):
+        st = _stages15(vol, level, b_max, c_max, v_max)
+        nx, ny, nz = st["nx"], st["ny"], st["nz"]
+        nby, nbz = st["nby"], st["nbz"]
+        bids, live_row = st["bids"], st["live_row"]
+        inv_block, CWf, sgb = st["inv_block"], st["CWf"], st["sgb"]
+        gx0, gy0, gz0 = st["gx0"], st["gy0"], st["gz0"]
+        nflat = b_max * 512
+
         # ---- 6. mixed cubes ----------------------------------------------
         cube_ok = (
             (gx0[:, None] + li[None, :] <= nx - 2)
@@ -339,7 +359,7 @@ def _get_march_device():
             & live_row[:, None]
         )  # (b_max, 512) valid cube bases
         inside_corner = [sgb[:, corner_flat[c]] for c in range(8)]
-        casepack = jnp.zeros(s_lo.shape, jnp.int32)
+        casepack = jnp.zeros((b_max, 512), jnp.int32)
         for tet in range(6):
             cs = None
             for bit, corner in enumerate(_TETS[tet]):
@@ -409,11 +429,35 @@ def _get_march_device():
         f0 = jnp.where(flips == 1, cols[2], cols[0])
         f2 = jnp.where(flips == 1, cols[0], cols[2])
         return (
-            vslots, t, f0, cols[1], f2,
-            count_b, count_c, count_m, count_v, count_t,
+            st["vslots"], st["t"], f0, cols[1], f2,
+            st["count_b"], st["count_c"], count_m, st["count_v"], count_t,
         )
 
-    _MARCH_DEVICE = _march
+    @partial(jax.jit, static_argnames=("b_max", "c_max", "v_max"))
+    def _march_packed(vol, level, b_max, c_max, v_max):
+        """Packed-wire variant: run stages 1-5 only and return
+        (sign bits of the live halo blocks, u16-quantized edge t, live
+        block ids, counts). Faces and vertex ids are PURE TOPOLOGY — exact
+        functions of the sign bits — so the host rebuilds them from ~1
+        bit/sample instead of fetching 12 B/face + 8 B/vertex (see
+        decode_packed_wire). Skips the mixed-cube + emission stages
+        (~10 gather elements/triangle) on device entirely."""
+        st = _stages15(vol, level, b_max, c_max, v_max)
+        sgb = st["sgb"]  # (b_max, 729) bool
+        pad = (-sgb.shape[1]) % 32
+        bits = jnp.pad(sgb, ((0, 0), (0, pad))).reshape(b_max, -1, 32)
+        weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+        words = jnp.sum(
+            bits.astype(jnp.uint32) * weights[None, None, :], axis=-1,
+            dtype=jnp.uint32,
+        )  # (b_max, ceil(729/32))
+        t_q = jnp.round(st["t"] * 65535.0).astype(jnp.uint16)
+        return (
+            words, t_q, st["bids"],
+            st["count_b"], st["count_c"], st["count_v"],
+        )
+
+    _MARCH_DEVICE = (_march, _march_packed)
     return _MARCH_DEVICE
 
 
@@ -463,7 +507,7 @@ def marching_tets_device(vol, level: float = 0.0):
             _quantize(27 * m2),
         ),
     )
-    fn = _get_march_device()
+    fn = _get_march_device()[0]
     while True:
         out = fn(vol, jnp.float32(level), b_max, c_max, m_max, v_max, t_max)
         vslots, t, f0, f1, f2 = out[:5]
@@ -498,6 +542,222 @@ def marching_tets_device(vol, level: float = 0.0):
     return vslots_h, t_h, faces_h
 
 
+_IDX_TABLES = None
+
+
+def _index_tables():
+    """(li, lj, lk, core_flat, hi_flat, corner_flat) — the same static
+    core->halo index tables the device kernels close over (host copy for
+    decode_packed_wire)."""
+    global _IDX_TABLES
+    if _IDX_TABLES is None:
+        li, lj, lk = np.meshgrid(
+            np.arange(_B), np.arange(_B), np.arange(_B), indexing="ij"
+        )
+        li, lj, lk = li.ravel(), lj.ravel(), lk.ravel()
+        core_flat = (li * _H + lj) * _H + lk
+        hi_flat = np.stack(
+            [((li + dx) * _H + (lj + dy)) * _H + (lk + dz)
+             for dx, dy, dz in _DIRS]
+        )
+        corner_flat = np.stack(
+            [((li + dx) * _H + (lj + dy)) * _H + (lk + dz)
+             for dx, dy, dz in _CORNERS]
+        )
+        _IDX_TABLES = (li, lj, lk, core_flat, hi_flat, corner_flat)
+    return _IDX_TABLES
+
+
+_POP7 = np.array([bin(i).count("1") for i in range(128)], np.int64)
+
+
+def decode_packed_wire(words, t_q, bids, shape):
+    """Rebuild (vslots, t, faces) from the packed wire (host, vectorized).
+
+    The wire carries ONLY the per-live-block sign bits (~1 bit/sample),
+    u16-quantized edge parameters, and the live block ids; every vertex id
+    and face index is a pure function of the sign bits, recomputed here
+    with the IDENTICAL arithmetic as the device stages 3-8 — topology is
+    exactly equal to the unpacked path, vertex positions within the u16
+    quantum (1/65535 of a cell edge). Cuts the D2H wire ~10x at 512^3
+    (109 MB -> ~10 MB) and lets the device skip the mixed-cube + emission
+    stages. Role match: the STL deliverable fetch of reference
+    executor/executor.py:388-400."""
+    nx, ny, nz = (int(v) for v in shape)
+    nbx, nby, nbz = -(-nx // _B), -(-ny // _B), -(-nz // _B)
+    nb3 = nbx * nby * nbz
+    li, lj, lk, core_flat, hi_flat, corner_flat = _index_tables()
+    bids = np.asarray(bids, np.int64)
+    L = len(bids)
+    if L == 0:
+        return (np.zeros(0, np.int64), np.zeros(0, np.float64),
+                np.zeros((0, 3), np.int64))
+    w = np.asarray(words, np.uint32)
+    bitmat = (w[:, :, None] >> np.arange(32, dtype=np.uint32)) & np.uint32(1)
+    sgb = bitmat.reshape(L, -1)[:, : _H * _H * _H].astype(bool)
+
+    bx = bids // (nby * nbz)
+    by = (bids // nbz) % nby
+    bz = bids % nbz
+    gx0, gy0, gz0 = bx * _B, by * _B, bz * _B
+
+    # ---- stage 3: per-core live-edge bitmasks (same masks as device) ----
+    s_lo = sgb[:, core_flat]
+    okx1 = gx0[:, None] + (li + 1)[None, :] <= nx - 1
+    oky1 = gy0[:, None] + (lj + 1)[None, :] <= ny - 1
+    okz1 = gz0[:, None] + (lk + 1)[None, :] <= nz - 1
+    okx0 = gx0[:, None] + li[None, :] <= nx - 1
+    oky0 = gy0[:, None] + lj[None, :] <= ny - 1
+    okz0 = gz0[:, None] + lk[None, :] <= nz - 1
+    Lbits = np.zeros((L, 512), np.int64)
+    for d, (dx, dy, dz) in enumerate(_DIRS):
+        ld = s_lo != sgb[:, hi_flat[d]]
+        ok_d = ((okx1 if dx else okx0) & (oky1 if dy else oky0)
+                & (okz1 if dz else okz0))
+        Lbits |= np.where(ld & ok_d, np.int64(1 << d), 0)
+    lf = Lbits.reshape(-1)
+
+    # ---- vertices: row-major (core, direction) enumeration == the
+    # device's cvbase order, so t_q[k] belongs to vertex k ----
+    bit7 = ((lf[:, None] >> np.arange(7)) & 1).astype(bool)
+    core_idx, d_v = np.nonzero(bit7)
+    row_v = core_idx // 512
+    lflat = core_idx % 512
+    bid_v = bids[row_v]
+    lxv, lyv, lzv = lflat // 64, (lflat // 8) % 8, lflat % 8
+    gxv = (bid_v // (nby * nbz)) * _B + lxv
+    gyv = ((bid_v // nbz) % nby) * _B + lyv
+    gzv = (bid_v % nbz) * _B + lzv
+    vslots = ((gxv * ny + gyv) * nz + gzv) * 7 + d_v
+    ncf = bit7.sum(axis=1).astype(np.int64)
+    cvbase = np.cumsum(ncf) - ncf
+
+    # ---- stages 6-7: mixed cubes + triangle enumeration ----
+    inside = [sgb[:, corner_flat[c]] for c in range(8)]
+    casepack = np.zeros((L, 512), np.int64)
+    for tet in range(6):
+        cs = np.zeros((L, 512), np.int64)
+        for bit, corner in enumerate(_TETS[tet]):
+            cs += inside[int(corner)].astype(np.int64) << bit
+        casepack |= cs << (4 * tet)
+    cube_ok = (
+        (gx0[:, None] + li[None, :] <= nx - 2)
+        & (gy0[:, None] + lj[None, :] <= ny - 2)
+        & (gz0[:, None] + lk[None, :] <= nz - 2)
+    )
+    ntr_total = sum(
+        _NTRIS_NP[(casepack >> (4 * tet)) & 15].astype(np.int64)
+        for tet in range(6)
+    )
+    ntr = np.where(cube_ok, ntr_total, 0).reshape(-1)
+    midx = np.flatnonzero(ntr > 0)
+    reps = ntr[midx]
+    count_t = int(reps.sum())
+    if count_t == 0:
+        return (vslots.astype(np.int64),
+                np.asarray(t_q, np.float64) / 65535.0,
+                np.zeros((0, 3), np.int64))
+    tri_cube = np.repeat(midx, reps)
+    offs = np.repeat(np.cumsum(reps) - reps, reps)
+    rtri = np.arange(count_t, dtype=np.int64) - offs
+    cases_t = casepack.reshape(-1)[tri_cube]
+    low = np.zeros(count_t, np.int64)
+    tet_t = np.zeros(count_t, np.int64)
+    k_t = np.zeros(count_t, np.int64)
+    for tet in range(6):
+        nt = _NTRIS_NP[(cases_t >> (4 * tet)) & 15].astype(np.int64)
+        hit = (rtri >= low) & (rtri < low + nt)
+        tet_t = np.where(hit, tet, tet_t)
+        k_t = np.where(hit, rtri - low, k_t)
+        low = low + nt
+    case_t = (cases_t >> (4 * tet_t)) & 15
+    pt = _PTBL_NP[(tet_t * 16 + case_t) * 2 + k_t].astype(np.int64)
+
+    # ---- stage 8: emission ----
+    inv = np.full(nb3, -1, np.int64)
+    inv[bids] = np.arange(L)
+    bid_t = bids[tri_cube // 512]
+    lcube = tri_cube % 512
+    bx_t = bid_t // (nby * nbz)
+    by_t = (bid_t // nbz) % nby
+    bz_t = bid_t % nbz
+    lx_t, ly_t, lz_t = lcube // 64, (lcube // 8) % 8, lcube % 8
+    cols = []
+    for j in range(3):
+        lo_c = (pt >> (6 * j)) & 7
+        d_e = (pt >> (6 * j + 3)) & 7
+        cx, cy, cz = lo_c >> 2, (lo_c >> 1) & 1, lo_c & 1
+        lxe, lye, lze = lx_t + cx, ly_t + cy, lz_t + cz
+        owner = inv[((bx_t + (lxe >> 3)) * nby + (by_t + (lye >> 3))) * nbz
+                    + (bz_t + (lze >> 3))]
+        assert (owner >= 0).all(), "packed wire: edge owner block not live"
+        ci = owner * 512 + ((lxe & 7) * 8 + (lye & 7)) * 8 + (lze & 7)
+        bitsw = lf[ci]
+        rank = _POP7[bitsw & ((np.int64(1) << d_e) - 1)]
+        cols.append(cvbase[ci] + rank)
+    flips = (pt >> 18) & 1
+    f0 = np.where(flips == 1, cols[2], cols[0])
+    f2 = np.where(flips == 1, cols[0], cols[2])
+    faces = np.stack([f0, cols[1], f2], axis=1)
+    t = np.asarray(t_q, np.float64) / 65535.0
+    return vslots.astype(np.int64), t, faces
+
+
+def marching_tets_device_packed(vol, level: float = 0.0):
+    """marching_tets_device over the PACKED wire: device runs stages 1-5
+    only, the host fetches sign bits + u16 t + block ids (~10x less wire)
+    and rebuilds vertex ids and faces with decode_packed_wire. Returns
+    (vslots (V,) int64, t (V,) float64, faces (T, 3) int64, wire_bytes)."""
+    import jax.numpy as jnp
+
+    nx, ny, nz = vol.shape
+    if nx * ny * nz * 7 >= 2**31:
+        raise ValueError(
+            f"grid {vol.shape} exceeds the int32 slot space (max ~645^3)"
+        )
+    nbx, nby, nbz = -(-nx // _B), -(-ny // _B), -(-nz // _B)
+    nb3 = nbx * nby * nbz
+    key = vol.shape
+    m2 = max(nx, ny, nz) ** 2
+    b_max, c_max, m_max, v_max, t_max = _BUDGET_CACHE.get(
+        key,
+        (
+            min(nb3, _quantize(m2 // 8 + 512, 1024)),
+            _quantize(5 * m2),
+            _quantize(5 * m2),
+            _quantize(14 * m2),
+            _quantize(27 * m2),
+        ),
+    )
+    fn = _get_march_device()[1]
+    while True:
+        words, t_q, bids, cb, cc, cv = fn(
+            vol, jnp.float32(level), b_max, c_max, v_max
+        )
+        cb, cc, cv = int(cb), int(cc), int(cv)
+        if cv > 1 << 24:
+            raise ValueError(
+                f"{cv} vertices overflow the packed core-word budget (2^24);"
+                " extract in sub-volumes"
+            )
+        if cb <= b_max and cc <= c_max and cv <= v_max:
+            _BUDGET_CACHE[key] = (b_max, c_max, m_max, v_max, t_max)
+            break
+        if cb > b_max:
+            b_max = min(nb3, _quantize(cb * 1.25, 1024))
+        if cc > c_max:
+            c_max = _quantize(cc * 1.25)
+        if cv > v_max:
+            v_max = _quantize(cv * 1.25)
+    words_h = np.asarray(words[:cb])
+    t_h = np.asarray(t_q[:cv])
+    bids_h = np.asarray(bids[:cb])
+    wire_bytes = words_h.nbytes + t_h.nbytes + bids_h.nbytes
+    vslots, t, faces = decode_packed_wire(words_h, t_h, bids_h, vol.shape)
+    assert len(vslots) == cv, (len(vslots), cv)
+    return vslots, t, faces, wire_bytes
+
+
 def decode_vertices(
     vslots: np.ndarray,
     t: np.ndarray,
@@ -514,13 +774,22 @@ def decode_vertices(
     return pos * np.asarray(spacing, np.float64) + np.asarray(origin, np.float64)
 
 
-def marching_cubes_device(vol, level, spacing, origin):
+def marching_cubes_device(vol, level, spacing, origin, wire: str = "exact"):
     """Device-volume frontend with the host-path return contract:
-    (vertices (V, 3) float64 world coords, faces (F, 3) int64)."""
+    (vertices (V, 3) float64 world coords, faces (F, 3) int64).
+
+    wire="exact" fetches f32 t and device-emitted faces (bit-identical to
+    the host path, up to soup order). wire="packed" ships sign bits + u16
+    t and rebuilds topology on host (identical faces/vertex ids, vertex
+    positions within 1/65535 of a cell edge, ~10x less D2H traffic and no
+    device emission stages) — the production fetch path."""
     nx, ny, nz = vol.shape
     if min(nx, ny, nz) < 2:
         return np.zeros((0, 3)), np.zeros((0, 3), dtype=np.int64)
-    vslots, t, faces = marching_tets_device(vol, level)
+    if wire == "packed":
+        vslots, t, faces, _ = marching_tets_device_packed(vol, level)
+    else:
+        vslots, t, faces = marching_tets_device(vol, level)
     verts = decode_vertices(vslots, t, vol.shape, spacing, origin)
     ok = (
         (faces[:, 0] != faces[:, 1])

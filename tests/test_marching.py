@@ -195,3 +195,69 @@ def test_device_closed_and_oriented():
     dots = np.einsum("ij,ij->i", fn,
                      centers / np.linalg.norm(centers, axis=1, keepdims=True))
     assert (dots > 0).mean() > 0.99
+
+
+def _packed_vs_unpacked(vol, level=0.0):
+    import jax.numpy as jnp
+
+    from sdf_representation_tpu.ops.marching_device import (
+        marching_tets_device,
+        marching_tets_device_packed,
+    )
+
+    volj = jnp.asarray(vol, jnp.float32)
+    vs_u, t_u, f_u = marching_tets_device(volj, level)
+    vs_p, t_p, f_p, wire = marching_tets_device_packed(volj, level)
+    return (vs_u, t_u, f_u), (vs_p, t_p, f_p), wire
+
+
+def test_packed_wire_topology_identical():
+    """The packed wire rebuilds EXACTLY the same vertex ids and faces as
+    the device emission (topology is a pure function of the sign bits);
+    t differs only by the u16 quantum."""
+    n = 40
+    vol = sphere_volume(n)
+    (vs_u, t_u, f_u), (vs_p, t_p, f_p), wire = _packed_vs_unpacked(vol)
+    np.testing.assert_array_equal(vs_p, vs_u)
+    np.testing.assert_array_equal(f_p, f_u)
+    np.testing.assert_allclose(t_p, t_u, atol=1.0 / 65535)
+    # the wire really is small: < 1/4 of the unpacked payload
+    unpacked = vs_u.size * 4 + t_u.size * 4 + f_u.size * 4
+    assert wire < unpacked / 4, (wire, unpacked)
+
+
+def test_packed_wire_noncubic_and_level():
+    rng = np.random.default_rng(5)
+    vol = rng.normal(size=(13, 21, 9)).astype(np.float32)
+    for ax in range(3):
+        vol = (np.roll(vol, 1, ax) + vol + np.roll(vol, -1, ax)) / 3
+    (vs_u, t_u, f_u), (vs_p, t_p, f_p), _ = _packed_vs_unpacked(vol, 0.1)
+    np.testing.assert_array_equal(vs_p, vs_u)
+    np.testing.assert_array_equal(f_p, f_u)
+    np.testing.assert_allclose(t_p, t_u, atol=1.0 / 65535)
+
+
+def test_packed_wire_frontend_mesh_quality():
+    """marching_cubes_device(wire='packed') produces a mesh equal to the
+    exact wire up to the t quantum in world coordinates."""
+    import jax.numpy as jnp
+
+    from sdf_representation_tpu.ops.marching_device import (
+        marching_cubes_device,
+    )
+
+    n = 32
+    vol = sphere_volume(n)
+    sp = 2.0 / (n - 1)
+    volj = jnp.asarray(vol, jnp.float32)
+    ve, fe = marching_cubes_device(volj, 0.0, (sp,) * 3, (-1,) * 3)
+    vp, fp = marching_cubes_device(volj, 0.0, (sp,) * 3, (-1,) * 3,
+                                   wire="packed")
+    np.testing.assert_array_equal(fp, fe)
+    np.testing.assert_allclose(vp, ve, atol=sp / 65535 + 1e-12)
+
+
+def test_packed_wire_empty_level_set():
+    vol = np.full((16, 16, 16), 2.0, np.float32)
+    (_, _, f_u), (vs_p, t_p, f_p), _ = _packed_vs_unpacked(vol)
+    assert len(f_p) == 0 and len(vs_p) == 0 and len(f_u) == 0
