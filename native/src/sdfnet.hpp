@@ -196,6 +196,84 @@ class ImplicitNet {
     return z > 0 ? z : 0.0f;
   }
 
+  // Row-wise activation for the blocked cores. The scalar act()/
+  // act_and_sig() loops did NOT auto-vectorize: GCC 12 reports "control
+  // flow in loop" for any chain that clamps a float and then converts it
+  // to int (cvttss + VRP refuses to if-convert), which is exactly
+  // fast_expf's floor/exponent-splice — with ~N_layers*width
+  // transcendentals per point the softplus dominated the 64-wide forward
+  // 13:1 over the relu-mode net (ROADMAP round 3). This version builds
+  // 2^n with the round-to-nearest MAGIC-NUMBER split (x/ln2 + 1.5*2^23;
+  // no float->int casts anywhere), all bit moves are 4-byte memcpy and
+  // all guards are ternary blends, so the whole body vectorizes to
+  // 64-byte vectors (measured 471 M softplus+sigmoid/s single-core vs
+  // ~88 M effective before). Accuracy: |err| <= ~1e-7 absolute, the same
+  // bar as fast_expf/fast_logf (the log(1+e) form shares their
+  // cancellation for e << 1, intentionally — parity with the scalar
+  // path's values at the 1e-7 level).
+  template <bool WITH_SIG>
+  static inline void softplus_row(const float* __restrict__ z, float bias,
+                                  float beta, float* __restrict__ h,
+                                  float* __restrict__ sig, int n) {
+    for (int p = 0; p < n; ++p) {
+      float zp = z[p] + bias;
+      float bz = beta * zp;
+      float x = bz < 20.0f ? bz : 20.0f;
+      x = x < -87.0f ? -87.0f : x;
+      // e = 2^round(x/ln2) * e^r, r = x - round(x/ln2)*ln2 in [-ln2/2,
+      // ln2/2]; the rounded quotient rides the low bits of y
+      float y = x * 1.44269504088896f + 12582912.0f;
+      uint32_t yi;
+      std::memcpy(&yi, &y, 4);
+      uint32_t sb = (yi << 23) + (127u << 23);
+      float scale;
+      std::memcpy(&scale, &sb, 4);
+      float nf = y - 12582912.0f;
+      float r = x - nf * 0.693359375f;   // ln2_hi (exact in f32)
+      r = r + nf * 2.12194440e-4f;       // ln2_hi - ln2 correction
+      float pe = 1.0f + r * (1.0f + r * (0.5f + r * (0.166666667f +
+                 r * (0.0416666667f + r * (0.00833333333f +
+                 r * (0.00138888889f + r * 0.000198412698f))))));
+      float e = pe * scale;
+      // log(1 + e): exponent/mantissa split + atanh series (uint->float
+      // exponent, no int cast)
+      float zl = 1.0f + e;
+      uint32_t lb;
+      std::memcpy(&lb, &zl, 4);
+      float k = static_cast<float>(lb >> 23) - 127.0f;
+      uint32_t mb = (lb & 0x007FFFFFu) | 0x3F800000u;
+      float m;
+      std::memcpy(&m, &mb, 4);
+      float w = (m - 1.0f) / (m + 1.0f);
+      float w2 = w * w;
+      float poly = 1.0f + w2 * (0.333333333f + w2 * (0.2f +
+                   w2 * (0.142857143f + w2 * 0.111111111f)));
+      float soft = (k * 0.69314718056f + 2.0f * w * poly) / beta;
+      h[p] = bz > 20.0f ? zp : soft;
+      if (WITH_SIG) sig[p] = bz > 20.0f ? 1.0f : e / (1.0f + e);
+    }
+  }
+
+  template <bool WITH_SIG>
+  static inline void relu_row(const float* __restrict__ z, float bias,
+                              float* __restrict__ h, float* __restrict__ sig,
+                              int n) {
+    for (int p = 0; p < n; ++p) {
+      float zp = z[p] + bias;
+      h[p] = zp > 0.0f ? zp : 0.0f;
+      if (WITH_SIG) sig[p] = zp > 0.0f ? 1.0f : 0.0f;
+    }
+  }
+
+  template <bool WITH_SIG>
+  inline void act_row(const float* z, float bias, float* h, float* sig,
+                      int n) const {
+    if (beta > 0)
+      softplus_row<WITH_SIG>(z, bias, beta, h, sig, n);
+    else
+      relu_row<WITH_SIG>(z, bias, h, sig, n);
+  }
+
   float act_grad(float z) const {
     if (beta > 0) {
       float bz = beta * z;
@@ -353,12 +431,16 @@ class ImplicitNet {
       T.resize(static_cast<size_t>(L.out) * NB);
       matvec_tn<NB>(L.w.data(), H.data(), T.data(), L.in, L.out);
       if (l < n_lin - 1) {
+        // one LONG activation pass over the whole (out x NB) block: the
+        // short 32-lane per-row calls ran at ~140-210 M softplus/s (poly
+        // latency not hidden); a single out*NB-length loop pipelines to
+        // ~470 M/s. Bias is a cheap vector add first.
         for (int j = 0; j < L.out; ++j) {
           const float bj = L.b[j];
-          const float* trow = &T[static_cast<size_t>(j) * NB];
-          float* hrow = &H[static_cast<size_t>(j) * NB];
-          for (int p = 0; p < NB; ++p) hrow[p] = act(trow[p] + bj);
+          float* trow = &T[static_cast<size_t>(j) * NB];
+          for (int p = 0; p < NB; ++p) trow[p] += bj;
         }
+        act_row<false>(T.data(), 0.0f, H.data(), nullptr, L.out * NB);
       } else {
         for (int p = 0; p < nb; ++p) {
           float v = T[p] + L.b[0];
@@ -434,14 +516,8 @@ class ImplicitNet {
         for (int p = 0; p < NB; ++p) prow[p] += bj;
       }
       if (l < n_lin - 1) {
-        float* sig = &SIG[sig_off[l]];
-        for (int j = 0; j < L.out; ++j) {
-          const float* prow = pre + static_cast<size_t>(j) * NB;
-          float* hrow = &H[static_cast<size_t>(j) * NB];
-          float* srow = sig + static_cast<size_t>(j) * NB;
-          for (int p = 0; p < NB; ++p)
-            act_and_sig(prow[p], &hrow[p], &srow[p]);
-        }
+        act_row<true>(pre, 0.0f, &H[0],
+                      &SIG[sig_off[l]], L.out * NB);
       } else {
         for (int p = 0; p < nb; ++p) {
           float v = pre[p];
