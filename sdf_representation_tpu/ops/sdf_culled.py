@@ -811,6 +811,212 @@ def signed_distance_culled(
 # Host-streamed face slabs: meshes past HBM residency
 # ---------------------------------------------------------------------------
 
+class StreamedLabeler:
+    """Exact signed-distance accumulation across face slabs AND mesh shards.
+
+    The streamed path's running state — per-point (min d², winner-triangle
+    coordinates) and winding-number sum — combines across *any* partition of
+    a watertight surface (or a union of watertight components) into pieces:
+    face slabs of one resident mesh, or whole mesh files that never
+    co-reside in host RAM. Construct once with the query points, ``add()``
+    each vertex/face shard, then ``finish()`` refines on the stored winner
+    triangles and signs by the accumulated winding.
+
+    Exactness argument is the same as ``signed_distance_culled``: each
+    shard's cull bound is a true upper bound on the *global* minimum
+    (the shard's own coarse sphere bound, tightened by the best distance
+    found in earlier shards), so the winner triangle can never be culled;
+    winding numbers are additive over any disjoint face partition.
+
+    Role match: reference datagenerator/data_generator.py:674-676 ("DAVID
+    with 1 billion triangles") — the igl AABB tree needs the whole soup in
+    host RAM; this needs only one shard at a time (and only one slab at a
+    time on device).
+    """
+
+    def __init__(
+        self,
+        points: np.ndarray,
+        *,
+        slab_faces: int = 1 << 24,
+        point_chunk: int = 2048,
+        tri_chunk: int = 1024,
+        beta: float = 2.0,
+        on_surface_eps: float = 1e-6,
+        use_pallas: Optional[bool] = None,
+    ):
+        points = np.ascontiguousarray(points, dtype=np.float32)
+        self.N = len(points)
+        self.slab_faces = slab_faces
+        self.tri_chunk = tri_chunk
+        self.beta = beta
+        self.on_surface_eps = on_surface_eps
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu", "gpu", "cuda")
+        if use_pallas:
+            from .pallas_streams import stream_tiling_ok
+
+            if not stream_tiling_ok(tri_chunk, point_chunk):
+                print(f"[sdf_culled] tri_chunk={tri_chunk} or "
+                      f"point_chunk={point_chunk} not kernel-tileable; "
+                      "using XLA streams", flush=True)
+                use_pallas = False
+        self.use_pallas = use_pallas
+        if self.N == 0:
+            return
+        self.order = _morton_order(points)
+        M = point_chunk
+        self.M = M
+        n_blocks = -(-self.N // M)
+        n_blocks = 1 << max(0, (n_blocks - 1).bit_length())
+        self.n_blocks = n_blocks
+        P_pad = np.empty((n_blocks * M, 3), dtype=np.float32)
+        P_pad[: self.N] = points[self.order]
+        P_pad[self.N:] = points[self.order[-1]]
+        self.P_pad = P_pad
+        self.P_blocks_np = P_pad.reshape(n_blocks, M, 3)
+        self.P_blocks = jnp.asarray(self.P_blocks_np)
+        self.point_scale = float(max(np.abs(points).max(initial=0.0), 1.0))
+        self.run_d2 = np.full(n_blocks * M, np.inf, np.float32)
+        self.run_w = np.zeros(n_blocks * M, np.float32)
+        # winner triangle coordinates, sorted-point order (N, 9) — stored
+        # per improvement so shards can be discarded after their add()
+        self.run_tri = np.zeros((self.N, 9), np.float32)
+
+    def add(self, vertices, faces) -> None:
+        """Accumulate one shard: a (V, 3)/(F, 3) piece of the geometry."""
+        if self.N == 0:
+            return
+        vertices = np.asarray(vertices, dtype=np.float64)
+        faces = np.asarray(faces, dtype=np.int64)
+        F = len(faces)
+        if F == 0:
+            return
+        t0 = time.time()
+        tri_cent = vertices[faces].mean(axis=1)
+        faces_sorted = faces[_morton_order(tri_cent)]
+        tri_chunk = self.tri_chunk
+        chunk_c, chunk_r, mom, cbar = _chunk_geometry(vertices, faces_sorted,
+                                                      tri_chunk)
+        C = len(chunk_c)
+        chunks_per_slab = max(1, self.slab_faces // tri_chunk)
+        t0 = _dbg(t0, f"host prep (F={F}, C={C})")
+
+        n_blocks, M, N = self.n_blocks, self.M, self.N
+        P_blocks, P_blocks_np = self.P_blocks, self.P_blocks_np
+        scale = float(max(np.abs(vertices).max(initial=0.0),
+                          self.point_scale))
+        ub_shard = _coarse_upper_bound_spheres(self.P_pad, chunk_c, chunk_r,
+                                               eps=1e-4 * scale)
+        t0 = _dbg(t0, "coarse upper bound (shard spheres)")
+        use_pallas = self.use_pallas
+
+        for c0 in range(0, C, chunks_per_slab):
+            c1 = min(C, c0 + chunks_per_slab)
+            f0, f1 = c0 * tri_chunk, min(F, c1 * tri_chunk)
+            tables_np, _ = _triangle_tables(vertices, faces_sorted[f0:f1],
+                                            tri_chunk)
+            tables = {k: jnp.asarray(v) for k, v in tables_np.items()}
+            # slab upper bound: the shard coarse bound, tightened by the
+            # running best distance (a true upper bound on the global min)
+            ub_now = np.minimum(ub_shard, np.sqrt(self.run_d2)
+                                + np.float32(1e-4 * scale))
+            UB_blocks = ub_now.reshape(n_blocks, M)
+            kd, kw = _cull(P_blocks, UB_blocks, chunk_c[c0:c1],
+                           chunk_r[c0:c1], self.beta, cbar=cbar[c0:c1],
+                           slack=_CULL_SLACK * scale)
+            t0 = _dbg(t0, f"slab {c0 // chunks_per_slab}: cull "
+                          f"(sum_kd={kd.sum()}, sum_kw={kw.sum()})")
+
+            Cs = c1 - c0
+            Cp = max(_DIP_GROUP, -(-Cs // _DIP_GROUP) * _DIP_GROUP)
+            dip_np = {
+                "cbar": np.zeros((Cp, 3), np.float32),
+                "m": np.zeros((Cp, 3), np.float32),
+                "cbar2": np.zeros((Cp,), np.float32),
+                "mdotc": np.zeros((Cp,), np.float32),
+            }
+            dip_np["cbar"][:Cs] = cbar[c0:c1]
+            dip_np["m"][:Cs] = mom[c0:c1]
+            dip_np["cbar2"][:Cs] = np.einsum("ij,ij->i", cbar[c0:c1],
+                                             cbar[c0:c1])
+            dip_np["mdotc"][:Cs] = np.einsum("ij,ij->i", mom[c0:c1],
+                                             cbar[c0:c1])
+            n_groups = Cp // _DIP_GROUP
+            dip = {k: jnp.asarray(v.reshape(n_groups, _DIP_GROUP,
+                                            *v.shape[1:]))
+                   for k, v in dip_np.items()}
+            far_pad = np.zeros((n_blocks, Cp), np.float32)
+            far_pad[:, :Cs] = (~kw).astype(np.float32)
+
+            db, dc, Sd = _stream_steps(kd, n_blocks)
+            wb, wc, Sw = _stream_steps(kw, n_blocks)
+            if use_pallas:
+                try:
+                    from .pallas_streams import (
+                        dist_stream_pallas,
+                        wind_stream_pallas,
+                    )
+
+                    out_d2, out_best = dist_stream_pallas(
+                        P_blocks_np, db, dc, tables_np, tri_chunk)
+                    out_w = wind_stream_pallas(P_blocks_np, wb, wc,
+                                               tables_np, tri_chunk)
+                except Exception as exc:  # pragma: no cover
+                    print(f"[sdf_culled] pallas streams unavailable "
+                          f"({exc!r}); falling back to XLA streams",
+                          flush=True)
+                    use_pallas = self.use_pallas = False
+            if not use_pallas:
+                out_d2, out_best = _dist_stream(P_blocks, db, dc, tables,
+                                                tri_chunk)
+                out_w = _wind_stream(P_blocks, wb, wc, tables)
+            omega_far = _dipole_all_blocks(P_blocks, jnp.asarray(far_pad),
+                                           dip)
+            d2_s = np.asarray(out_d2[:n_blocks]).reshape(-1)
+            best_s = np.asarray(out_best[:n_blocks]).reshape(-1)
+            w_s = (np.asarray(out_w[:n_blocks])
+                   + np.asarray(omega_far)).reshape(-1)
+            better = d2_s < self.run_d2
+            self.run_d2 = np.where(better, d2_s, self.run_d2)
+            self.run_w += w_s
+            # gather the improved winners' coordinates NOW — the shard's
+            # vertex/face arrays are gone by finish() time
+            bn = better[:N]
+            if bn.any():
+                win = np.clip(best_s[:N][bn] + f0, 0, F - 1)
+                self.run_tri[bn] = (
+                    vertices[faces_sorted[win]]
+                    .astype(np.float32).reshape(-1, 9))
+            t0 = _dbg(t0, f"slab {c0 // chunks_per_slab}: streams "
+                          f"(Sd={Sd}, Sw={Sw})")
+
+    def finish(self, return_normals: bool = True):
+        """Refine on the accumulated winner triangles; sign by winding."""
+        if self.N == 0:
+            return np.zeros(0), np.zeros((0, 3))
+        N = self.N
+        if not np.isfinite(self.run_d2[:N]).any():
+            return np.full(N, np.inf), np.zeros((N, 3))
+        t0 = time.time()
+        tri_flat = jnp.asarray(self.run_tri.reshape(-1))
+        flat = jnp.asarray(self.P_pad)
+        P_cols = (flat[:N, 0], flat[:N, 1], flat[:N, 2])
+        sdf_s, grads_s = _refine_device(
+            P_cols, tri_flat, jnp.arange(N, dtype=jnp.int32),
+            jnp.asarray(self.run_w[:N]), self.on_surface_eps,
+        )
+        inv = jnp.asarray(np.argsort(self.order))
+        sdf = jnp.take(sdf_s, inv)
+        grads = tuple(jnp.take(g, inv) for g in grads_s)
+        t0 = _dbg(t0, "refine+unsort")
+        if not return_normals:
+            return np.asarray(sdf, dtype=np.float64), None
+        grad = np.stack([np.asarray(g) for g in grads],
+                        axis=-1).astype(np.float64)
+        return np.asarray(sdf, dtype=np.float64), grad
+
+
 def signed_distance_streamed(
     points: np.ndarray,
     mesh_or_vertices,
@@ -829,7 +1035,7 @@ def signed_distance_streamed(
     Faces are Morton-sorted GLOBALLY (slab spatial compactness), then
     processed in ``slab_faces``-sized resident slabs: per slab, the same
     cull + segmented streams as signed_distance_culled; the running
-    per-point (min d2, global winner) and winding sum combine across
+    per-point (min d2, winner triangle) and winding sum combine across
     slabs on host, and each slab's upper bound is tightened by the best
     distance found so far (sqrt of the running min — slabs after the
     first cull progressively harder). Distances stay EXACT for the same
@@ -846,137 +1052,49 @@ def signed_distance_streamed(
         vertices = mesh_or_vertices
         assert faces is not None
     points = np.ascontiguousarray(points, dtype=np.float32)
-    N = len(points)
-    if N == 0:
+    if len(points) == 0:
         return np.zeros(0), np.zeros((0, 3))
-    vertices = np.asarray(vertices, dtype=np.float64)
-    faces = np.asarray(faces, dtype=np.int64)
-    F = len(faces)
-    if F == 0:
-        return np.full(N, np.inf), np.zeros((N, 3))
-    if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu", "gpu", "cuda")
-    if use_pallas:
-        from .pallas_streams import stream_tiling_ok
-
-        if not stream_tiling_ok(tri_chunk, point_chunk):
-            print(f"[sdf_culled] tri_chunk={tri_chunk} or "
-                  f"point_chunk={point_chunk} not kernel-tileable; "
-                  "using XLA streams", flush=True)
-            use_pallas = False
-
-    t0 = time.time()
-    tri_cent = vertices[faces].mean(axis=1)
-    faces_sorted = faces[_morton_order(tri_cent)]
-    order = _morton_order(points)
-
-    # global chunk geometry (streams internally via super_faces)
-    chunk_c, chunk_r, mom, cbar = _chunk_geometry(vertices, faces_sorted,
-                                                  tri_chunk)
-    C = len(chunk_c)
-    chunks_per_slab = max(1, slab_faces // tri_chunk)
-    t0 = _dbg(t0, f"host prep (F={F}, C={C})")
-
-    M = point_chunk
-    n_blocks = -(-N // M)
-    n_blocks = 1 << max(0, (n_blocks - 1).bit_length())
-    P_pad = np.empty((n_blocks * M, 3), dtype=np.float32)
-    P_pad[:N] = points[order]
-    P_pad[N:] = points[order[-1]]
-    P_blocks_np = P_pad.reshape(n_blocks, M, 3)
-    P_blocks = jnp.asarray(P_blocks_np)
-
-    scale = float(max(np.abs(vertices).max(initial=0.0),
-                      np.abs(points).max(initial=0.0), 1.0))
-    ub = _coarse_upper_bound_spheres(P_pad, chunk_c, chunk_r,
-                                     eps=1e-4 * scale)
-    t0 = _dbg(t0, "coarse upper bound (global spheres)")
-
-    run_d2 = np.full(n_blocks * M, np.inf, np.float32)
-    run_best = np.zeros(n_blocks * M, np.int64)
-    run_w = np.zeros(n_blocks * M, np.float32)
-
-    for c0 in range(0, C, chunks_per_slab):
-        c1 = min(C, c0 + chunks_per_slab)
-        f0, f1 = c0 * tri_chunk, min(F, c1 * tri_chunk)
-        tables_np, _ = _triangle_tables(vertices, faces_sorted[f0:f1],
-                                        tri_chunk)
-        tables = {k: jnp.asarray(v) for k, v in tables_np.items()}
-        # slab upper bound: global coarse bound, tightened by the running
-        # best distance (still a true upper bound on the global minimum)
-        ub_now = np.minimum(ub, np.sqrt(run_d2) + np.float32(1e-4 * scale))
-        UB_blocks = ub_now.reshape(n_blocks, M)
-        kd, kw = _cull(P_blocks, UB_blocks, chunk_c[c0:c1], chunk_r[c0:c1],
-                       beta, cbar=cbar[c0:c1], slack=_CULL_SLACK * scale)
-        t0 = _dbg(t0, f"slab {c0 // chunks_per_slab}: cull "
-                      f"(sum_kd={kd.sum()}, sum_kw={kw.sum()})")
-
-        Cs = c1 - c0
-        Cp = max(_DIP_GROUP, -(-Cs // _DIP_GROUP) * _DIP_GROUP)
-        dip_np = {
-            "cbar": np.zeros((Cp, 3), np.float32),
-            "m": np.zeros((Cp, 3), np.float32),
-            "cbar2": np.zeros((Cp,), np.float32),
-            "mdotc": np.zeros((Cp,), np.float32),
-        }
-        dip_np["cbar"][:Cs] = cbar[c0:c1]
-        dip_np["m"][:Cs] = mom[c0:c1]
-        dip_np["cbar2"][:Cs] = np.einsum("ij,ij->i", cbar[c0:c1], cbar[c0:c1])
-        dip_np["mdotc"][:Cs] = np.einsum("ij,ij->i", mom[c0:c1], cbar[c0:c1])
-        n_groups = Cp // _DIP_GROUP
-        dip = {k: jnp.asarray(v.reshape(n_groups, _DIP_GROUP, *v.shape[1:]))
-               for k, v in dip_np.items()}
-        far_pad = np.zeros((n_blocks, Cp), np.float32)
-        far_pad[:, :Cs] = (~kw).astype(np.float32)
-
-        db, dc, Sd = _stream_steps(kd, n_blocks)
-        wb, wc, Sw = _stream_steps(kw, n_blocks)
-        if use_pallas:
-            try:
-                from .pallas_streams import (
-                    dist_stream_pallas,
-                    wind_stream_pallas,
-                )
-
-                out_d2, out_best = dist_stream_pallas(P_blocks_np, db, dc,
-                                                      tables_np, tri_chunk)
-                out_w = wind_stream_pallas(P_blocks_np, wb, wc, tables_np,
-                                           tri_chunk)
-            except Exception as exc:  # pragma: no cover - compiler-dependent
-                print(f"[sdf_culled] pallas streams unavailable ({exc!r}); "
-                      "falling back to XLA streams", flush=True)
-                use_pallas = False
-        if not use_pallas:
-            out_d2, out_best = _dist_stream(P_blocks, db, dc, tables,
-                                            tri_chunk)
-            out_w = _wind_stream(P_blocks, wb, wc, tables)
-        omega_far = _dipole_all_blocks(P_blocks, jnp.asarray(far_pad), dip)
-        d2_s = np.asarray(out_d2[:n_blocks]).reshape(-1)
-        best_s = np.asarray(out_best[:n_blocks]).reshape(-1)
-        w_s = (np.asarray(out_w[:n_blocks]) + np.asarray(omega_far)
-               ).reshape(-1)
-        better = d2_s < run_d2
-        run_d2 = np.where(better, d2_s, run_d2)
-        run_best = np.where(better, best_s.astype(np.int64) + f0, run_best)
-        run_w += w_s
-        t0 = _dbg(t0, f"slab {c0 // chunks_per_slab}: streams "
-                      f"(Sd={Sd}, Sw={Sw})")
-
-    # final refinement on the gathered winner triangles
-    win = np.clip(run_best[:N], 0, F - 1)
-    tri_win = vertices[faces_sorted[win]].astype(np.float32)  # (N, 3, 3)
-    tri_flat = jnp.asarray(tri_win.reshape(-1))
-    flat = jnp.asarray(P_pad)
-    P_cols = (flat[:N, 0], flat[:N, 1], flat[:N, 2])
-    sdf_s, grads_s = _refine_device(
-        P_cols, tri_flat, jnp.arange(N, dtype=jnp.int32),
-        jnp.asarray(run_w[:N]), on_surface_eps,
+    acc = StreamedLabeler(
+        points, slab_faces=slab_faces, point_chunk=point_chunk,
+        tri_chunk=tri_chunk, beta=beta, on_surface_eps=on_surface_eps,
+        use_pallas=use_pallas,
     )
-    inv = jnp.asarray(np.argsort(order))
-    sdf = jnp.take(sdf_s, inv)
-    grads = tuple(jnp.take(g, inv) for g in grads_s)
-    t0 = _dbg(t0, "refine+unsort")
-    if not return_normals:
-        return np.asarray(sdf, dtype=np.float64), None
-    grad = np.stack([np.asarray(g) for g in grads], axis=-1).astype(np.float64)
-    return np.asarray(sdf, dtype=np.float64), grad
+    acc.add(vertices, faces)
+    return acc.finish(return_normals=return_normals)
+
+
+def signed_distance_files(
+    points: np.ndarray,
+    mesh_paths,
+    *,
+    slab_faces: int = 1 << 24,
+    return_normals: bool = True,
+    point_chunk: int = 2048,
+    tri_chunk: int = 1024,
+    beta: float = 2.0,
+    on_surface_eps: float = 1e-6,
+    use_pallas: Optional[bool] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact signed distance against a geometry sharded across mesh FILES.
+
+    The shards together must form a watertight surface (or a union of
+    watertight components) — e.g. a massive scan exported as many .ply
+    pieces (the reference's DAVID corpus, data_generator.py:674-676,
+    :745-801). Only one shard is loaded into host RAM at a time; each is
+    streamed through the device in ``slab_faces`` slabs. Distances are the
+    exact minimum over ALL shards and signs come from the summed winding
+    number, so per-file labeling artifacts (open boundaries of a shard)
+    cannot flip signs the way per-shard signed distances would.
+    """
+    from ..geometry.mesh_io import load_mesh
+
+    acc = StreamedLabeler(
+        points, slab_faces=slab_faces, point_chunk=point_chunk,
+        tri_chunk=tri_chunk, beta=beta, on_surface_eps=on_surface_eps,
+        use_pallas=use_pallas,
+    )
+    for path in mesh_paths:
+        mesh = load_mesh(str(path))
+        acc.add(mesh.vertices, mesh.faces)
+        del mesh
+    return acc.finish(return_normals=return_normals)

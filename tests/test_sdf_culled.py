@@ -271,3 +271,62 @@ def test_triangle_soup_distances_exact():
                                         tri_chunk=16, slab_faces=32)
     np.testing.assert_allclose(np.abs(got_s), np.abs(ref), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_sharded_files_match_resident(tmp_path):
+    """signed_distance_files: a watertight surface partitioned across
+    mesh FILES (each with its own reindexed vertex subset, loaded one at
+    a time) must reproduce the resident culled labeling exactly —
+    distances via the cross-shard running min, signs via summed winding."""
+    from sdf_representation_tpu.geometry.mesh_io import Mesh, save_mesh
+    from sdf_representation_tpu.ops.sdf_culled import signed_distance_files
+
+    mesh = make_icosphere(subdivisions=3, radius=0.6)  # 5120 faces
+    rng = np.random.default_rng(21)
+    # shuffle faces so shards are NOT spatially coherent pieces
+    perm = rng.permutation(len(mesh.faces))
+    paths = []
+    for s, part in enumerate(np.array_split(perm, 3)):
+        f = mesh.faces[part]
+        used, inv = np.unique(f, return_inverse=True)
+        shard = Mesh(mesh.vertices[used], inv.reshape(-1, 3))
+        p = tmp_path / f"shard{s}.ply"
+        save_mesh(shard, str(p))
+        paths.append(p)
+    pts = rng.uniform(-1, 1, (1024, 3))
+    ref, ref_n = signed_distance_culled(pts, mesh, point_chunk=256,
+                                        tri_chunk=128)
+    got, got_n = signed_distance_files(pts, paths, point_chunk=256,
+                                       tri_chunk=128, slab_faces=1024)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+    assert np.all(np.sign(got) == np.sign(ref))
+    dots = np.einsum("ij,ij->i", got_n, ref_n)
+    assert np.mean(dots > 0.999) > 0.99
+
+
+def test_sharded_files_union_of_components(tmp_path):
+    """Two disjoint closed components in separate files: the union's SDF
+    is the min of distances with winding-summed signs — inside either
+    sphere must come out negative, outside both positive."""
+    from sdf_representation_tpu.geometry.mesh_io import Mesh, save_mesh
+    from sdf_representation_tpu.ops.sdf_culled import signed_distance_files
+
+    a = make_icosphere(subdivisions=3, radius=0.25)
+    b = make_icosphere(subdivisions=3, radius=0.25)
+    av = a.vertices + np.array([-0.5, 0.0, 0.0])
+    bv = b.vertices + np.array([0.5, 0.0, 0.0])
+    pa = tmp_path / "a.ply"
+    pb = tmp_path / "b.ply"
+    save_mesh(Mesh(av, a.faces), str(pa))
+    save_mesh(Mesh(bv, b.faces), str(pb))
+    rng = np.random.default_rng(22)
+    pts = rng.uniform(-1, 1, (2048, 3))
+    got, _ = signed_distance_files(pts, [pa, pb], point_chunk=256,
+                                   tri_chunk=128)
+    # oracle: union of the two analytic spheres (facet error ~2e-3 at lvl 3)
+    da = np.linalg.norm(pts - [-0.5, 0, 0], axis=1) - 0.25
+    db = np.linalg.norm(pts - [0.5, 0, 0], axis=1) - 0.25
+    ana = np.minimum(da, db)
+    band = np.abs(ana) > 5e-3  # skip points within facet error of surface
+    assert np.all(np.sign(got[band]) == np.sign(ana[band]))
+    np.testing.assert_allclose(got, ana, atol=5e-3)
