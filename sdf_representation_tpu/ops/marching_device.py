@@ -30,12 +30,15 @@ organised to minimise TOTAL gather/scatter elements, not FLOPs or bytes:
      int32 next to the core's global vertex base:  CW = cvbase << 7 | bits.
      One gather of CW answers "vertex index of edge (lo, d)" for both the
      welding AND the face emission (base + popcount of the bits below d).
-  4. COMPACTION by scatter only where the candidate space is small (live
-     cores: 8 candidates/block-point -> 19 M; mixed cubes: 19 M), and by
-     SEGMENT EXPANSION everywhere else: vertices and triangles are
-     enumerated by scattering each segment's start (c_max / m_max elements,
-     unique and sorted) and running a 1-D cummax over the output — O(out)
-     instead of O(candidates). The 132 M-element vertex scatter is gone.
+  4. COMPACTION by OUTPUT-sized set-bit enumeration (pack the live-core /
+     mixed-cube masks into 32-bit words, per-word popcount prefix, route
+     output slots to words with a word-count scatter + cummax, unrolled
+     in-word bit-rank scan): 2*(19M/32) + out_max scatter/gather elements
+     where the round-3 input-sized scatters paid 19 M each. Vertices and
+     triangles are then enumerated by SEGMENT EXPANSION: scatter each
+     segment's start (c_max / m_max elements, unique and sorted) and run a
+     1-D cummax over the output — O(out) instead of O(candidates). The
+     132 M-element vertex scatter is gone.
   5. EMISSION: ~10 gather elements per triangle (cube record, packed
      per-(tet,case,k) edge table, block id, and 2 per edge: inverse block
      map + CW), everything else element-wise decode.
@@ -59,13 +62,27 @@ import numpy as np
 
 from .marching import _CASE_TRIS, _CORNERS, _FLIP_TABLE, _TET_EDGES, _TETS
 
-# Sorted scatter-max compaction (default): compaction targets are the
+# Sorted scatter-max compaction (legacy): compaction targets are the
 # inclusive-rank prefix minus one, which is NON-DECREASING across the whole
 # flattened array, so the scatter can declare indices_are_sorted=True; dead
 # entries write -1 at their predecessor's slot and lose the max() to the
 # live writer. An arbitrary-index .at[].set() over the same index space
 # forces XLA's serialized scatter path.
 _SORTED_SCATTER = os.environ.get("MARCH_SORTED_SCATTER", "1") != "0"
+
+# Compaction strategy. Both enumerate the positions of set mask bits into a
+# dense (out_max,) prefix:
+#   words (default) — OUTPUT-sized: pack the mask into 32-bit words
+#     (bandwidth-only), per-word popcount prefix over nflat/32 words, one
+#     word-count scatter + cummax to route each output slot to its word,
+#     then a 32-step elementwise bit-rank scan. Scatter/gather elements:
+#     2*(nflat/32) + out_max, vs the INPUT-sized nflat of the legacy path —
+#     ~3x fewer at 512^3 (out_max is the live subset; the TPU issues
+#     gather/scatter elements at ~110 M/s regardless of locality, so element
+#     count is the cost model — see module docstring).
+#   scatter — the legacy input-sized scatter above (MARCH_COMPACT=scatter
+#     for A/B runs).
+_COMPACT_MODE = os.environ.get("MARCH_COMPACT", "words")
 
 # the 7 ascending edge directions; direction index = corner-bit pattern - 1
 # (corner id encodes (x,y,z) as x*4+y*2+z, so _CORNERS[1:] enumerates them)
@@ -161,10 +178,11 @@ def _get_march_device():
             c = c + ((x >> b) & 1)
         return c
 
-    def _compact(mask_flat, src_flat, out_max):
-        """Scatter-compact src values of set mask entries, in order.
-        Returns (compacted (out_max,), count). Input-sized (the expensive
-        direction) — only used where the candidate space is already small."""
+    def _compact_scatter(mask_flat, out_max):
+        """Legacy input-sized scatter enumeration of set-bit positions.
+        Returns (positions (out_max,), count)."""
+        nflat = mask_flat.shape[0]
+        src_flat = jnp.arange(nflat, dtype=jnp.int32)
         pi = jnp.cumsum(mask_flat.astype(jnp.int32))
         count = pi[-1]
         if _SORTED_SCATTER:
@@ -183,6 +201,58 @@ def _get_march_device():
                 .set(src_flat, mode="drop")
             )
         return out, count
+
+    def _compact_words(mask_flat, out_max):
+        """Output-sized set-bit enumeration over packed 32-bit words.
+        Returns (positions (out_max,), count); positions beyond count are
+        deterministic garbage masked by the caller's live-row predicate,
+        exactly like the scatter path's untouched zeros.
+
+        The mask is reduced to nflat/32 words (bandwidth-only pass); only
+        live words (popcount > 0) scatter their (word id, vertex base) at
+        their first output slot — bases are strictly increasing over live
+        words, so both scatters are sorted+unique — and two cummax sweeps
+        route every output slot to its containing word. The in-word rank is
+        then resolved by the same unrolled bit-rank scan stage 5 uses for
+        edge directions (elementwise VPU work, no memory traffic)."""
+        nflat = mask_flat.shape[0]  # b_max*512: always a multiple of 32
+        bits = mask_flat.reshape(nflat // 32, 32)
+        nw = bits.shape[0]
+        weights = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
+        words = jnp.sum(
+            bits.astype(jnp.uint32) * weights[None, :], axis=1,
+            dtype=jnp.uint32,
+        )  # (nw,)
+        pc = jnp.sum(bits, axis=1, dtype=jnp.int32)  # (nw,)
+        cume = jnp.cumsum(pc)
+        count = cume[-1]
+        base = cume - pc  # exclusive set-bit prefix per word
+        slot = jnp.where(pc > 0, base, out_max)  # dead words drop
+        wid = jax.lax.cummax(
+            jnp.zeros((out_max,), jnp.int32)
+            .at[slot]
+            .max(jnp.arange(nw, dtype=jnp.int32), mode="drop",
+                 indices_are_sorted=True, unique_indices=True)
+        )
+        bse = jax.lax.cummax(
+            jnp.zeros((out_max,), jnp.int32)
+            .at[slot]
+            .max(base, mode="drop", indices_are_sorted=True,
+                 unique_indices=True)
+        )
+        r = jnp.arange(out_max, dtype=jnp.int32) - bse  # in-word rank
+        w = words[wid]  # (out_max,) gather — the only output-sized traffic
+        cnt = jnp.zeros((out_max,), jnp.int32)
+        b_out = jnp.zeros((out_max,), jnp.int32)
+        for b in range(32):
+            bit = ((w >> jnp.uint32(b)) & jnp.uint32(1)).astype(jnp.int32)
+            cnt = cnt + bit
+            b_out = jnp.where((bit == 1) & (cnt == r + 1), b, b_out)
+        return wid * 32 + b_out, count
+
+    _compact = (
+        _compact_words if _COMPACT_MODE == "words" else _compact_scatter
+    )
 
     def _expand(starts, values, mask, out_max):
         """Segment expansion: out[i] = values[s] for the last segment s with
@@ -284,12 +354,9 @@ def _get_march_device():
         # ~645^3 by the int32 slot space), bits fit in the low 7
         CWf = (cvbase << 7) | Lbits.reshape(-1)  # (b_max*512,) int32
 
-        # ---- 4. live-core compaction (19M-candidate scatter) -------------
+        # ---- 4. live-core compaction (set-bit enumeration) ---------------
         corelive = (Lbits > 0).reshape(-1)
-        nflat = b_max * 512
-        crec, count_c = _compact(
-            corelive, jnp.arange(nflat, dtype=jnp.int32), c_max
-        )
+        crec, count_c = _compact(corelive, c_max)
         clive = jnp.arange(c_max, dtype=jnp.int32) < count_c
 
         # ---- 5. vertices via segment expansion ---------------------------
@@ -349,7 +416,6 @@ def _get_march_device():
         bids, live_row = st["bids"], st["live_row"]
         inv_block, CWf, sgb = st["inv_block"], st["CWf"], st["sgb"]
         gx0, gy0, gz0 = st["gx0"], st["gy0"], st["gz0"]
-        nflat = b_max * 512
 
         # ---- 6. mixed cubes ----------------------------------------------
         cube_ok = (
@@ -373,9 +439,7 @@ def _get_march_device():
         ntr_flat = jnp.where(cube_ok, ntr_total, 0).reshape(-1)
         count_t = jnp.sum(ntr_flat)
         troff_flat = jnp.cumsum(ntr_flat) - ntr_flat
-        mrec, count_m = _compact(
-            ntr_flat > 0, jnp.arange(nflat, dtype=jnp.int32), m_max
-        )
+        mrec, count_m = _compact(ntr_flat > 0, m_max)
         mlive = jnp.arange(m_max, dtype=jnp.int32) < count_m
         troff_m = troff_flat[mrec]
         cases_m = casepack.reshape(-1)[mrec]
