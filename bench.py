@@ -16,6 +16,8 @@ Env: BENCH_QUICK=1 -> 128^3 + tiny train loop (CI smoke).
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 REPO_DIR = os.path.dirname(os.path.abspath(__file__))
@@ -23,6 +25,33 @@ REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _probe_accelerator(attempts=3, timeout_s=120, sleep_s=60):
+    """True iff the accelerator backend can actually run a program.
+
+    The axon TPU relay in this image can go down for hours (2026-08-17/18
+    outage: backend init hangs, then UNAVAILABLE); a wedged init would hang
+    this whole process past any driver timeout. Probe in a bounded
+    subprocess and retry a little in case the relay is flapping."""
+    code = (
+        "import jax, jax.numpy as jnp\n"
+        "x = jnp.ones((128, 128))\n"
+        "print('PROBE_OK', float(jax.device_get(jnp.sum(x @ x))))\n"
+    )
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code], timeout=timeout_s,
+                capture_output=True, text=True, cwd=REPO_DIR,
+            )
+            if "PROBE_OK" in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if i + 1 < attempts:
+            time.sleep(sleep_s)
+    return False
 
 
 def _force(out):
@@ -47,6 +76,18 @@ def time_fn(fn, *args, repeats=3):
 def main():
     quick = os.environ.get("BENCH_QUICK") == "1"
 
+    # Degraded mode: if the accelerator is unreachable (relay outage),
+    # run the whole bench on CPU at smoke sizes rather than crash — the
+    # emitted numbers are REAL measurements of a non-target backend and
+    # are labeled as such (relay_outage / backend extras). Never report
+    # stale TPU numbers as fresh.
+    degraded = os.environ.get("BENCH_FORCE_CPU") == "1" or (
+        not _probe_accelerator()
+    )
+    if degraded:
+        jax.config.update("jax_platforms", "cpu")
+        quick = True
+
     from sdf_representation_tpu.models import ImplicitNet
     from sdf_representation_tpu.ops.grid_eval import _eval_grid_device
     from sdf_representation_tpu.ops.pallas_mlp import fused_grid_eval
@@ -57,20 +98,27 @@ def main():
 
     n = 128 if quick else 512
     reps = 2 if quick else 3
+    if degraded:
+        # Pallas kernels only run interpreted on CPU (~100x slow) — measure
+        # the XLA paths at a grid the CPU can finish; everything is labeled.
+        n, reps = 64, 1
 
-    _, n_active = sparse_grid_eval(model, params, n, return_count=True)
-    t_sparse = time_fn(
-        lambda p: sparse_grid_eval(model, p, n, compute_dtype=jnp.bfloat16),
-        params, repeats=reps,
-    )
-    t_fused = time_fn(
-        lambda p: fused_grid_eval(model, p, n, compute_dtype=jnp.bfloat16),
-        params, repeats=reps,
-    )
     t_xla = time_fn(
         lambda p: _eval_grid_device(p, model.apply, n, 262144, jnp.float32),
         params, repeats=reps,
     )
+    if degraded:
+        n_active, t_sparse, t_fused = -1, None, None
+    else:
+        _, n_active = sparse_grid_eval(model, params, n, return_count=True)
+        t_sparse = time_fn(
+            lambda p: sparse_grid_eval(model, p, n, compute_dtype=jnp.bfloat16),
+            params, repeats=reps,
+        )
+        t_fused = time_fn(
+            lambda p: fused_grid_eval(model, p, n, compute_dtype=jnp.bfloat16),
+            params, repeats=reps,
+        )
 
     # full field -> mesh extraction (the reference deliverable:
     # executor.py:388 marching_cubes -> STL). Device side = sparse eval +
@@ -80,12 +128,17 @@ def main():
     # device numbers the target is about.
     from sdf_representation_tpu.ops import marching_device as md
 
-    vol = sparse_grid_eval(model, params, n, compute_dtype=jnp.bfloat16)
+    def _field(p):
+        if degraded:
+            return _eval_grid_device(p, model.apply, n, 262144, jnp.float32)
+        return sparse_grid_eval(model, p, n, compute_dtype=jnp.bfloat16)
+
+    vol = _field(params)
     _force(vol)
     md.marching_tets_device(vol, 0.0)  # compile + budget growth (exact)
     md.marching_tets_device_packed(vol, 0.0)  # compile (packed wire)
     t0 = time.perf_counter()
-    vol = sparse_grid_eval(model, params, n, compute_dtype=jnp.bfloat16)
+    vol = _field(params)
     _force(vol)
     t_eval2 = time.perf_counter() - t0
     fnm = md._get_march_device()[0]
@@ -157,7 +210,9 @@ def main():
     sub = 4 if quick else 6
     n_label = 20000 if quick else 200000
     label_code = (
-        "import time, numpy as np\n"
+        ("import jax\njax.config.update('jax_platforms', 'cpu')\n"
+         if degraded else "")
+        + "import time, numpy as np\n"
         "from sdf_representation_tpu.geometry.primitives import make_icosphere\n"
         "from sdf_representation_tpu.ops.sdf_exact import signed_distance\n"
         f"mesh = make_icosphere({sub}, 0.5)\n"
@@ -200,7 +255,11 @@ def main():
 
     # Quick mode extrapolates the DENSE kernel cubically (sparse time scales
     # ~n^2 with a fixed margin floor, so extrapolating it would be wrong).
-    t_at_512 = t_sparse if not quick else t_fused * (512 / n) ** 3
+    # Degraded (CPU-fallback) mode only has the XLA path to extrapolate.
+    if degraded:
+        t_at_512 = t_xla * (512 / n) ** 3
+    else:
+        t_at_512 = t_sparse if not quick else t_fused * (512 / n) ** 3
     result = {
         "metric": "sdf_grid_512_eval_seconds",
         "value": round(t_at_512, 4),
@@ -208,14 +267,23 @@ def main():
         "vs_baseline": round(2.0 / t_at_512, 3),
         "extras": {
             "grid_n": n,
-            "grid_eval_sparse_s": round(t_sparse, 4),
-            "sparse_active_blocks": int(n_active),
-            "sparse_active_frac": round(float(n_active) / (n // 8) ** 3, 4),
-            "grid_eval_fused_bf16_s": round(t_fused, 4),
+            "grid_eval_sparse_s": None if degraded else round(t_sparse, 4),
+            "sparse_active_blocks": None if degraded else int(n_active),
+            "sparse_active_frac": (
+                None if degraded
+                else round(float(n_active) / (n // 8) ** 3, 4)
+            ),
+            "grid_eval_fused_bf16_s": None if degraded else round(t_fused, 4),
             "grid_eval_xla_s": round(t_xla, 4),
-            "fused_speedup_vs_xla": round(t_xla / t_fused, 2),
-            "sparse_speedup_vs_dense_fused": round(t_fused / t_sparse, 2),
-            "grid_points_per_sec_fused": round(n**3 / t_fused),
+            "fused_speedup_vs_xla": (
+                None if degraded else round(t_xla / t_fused, 2)
+            ),
+            "sparse_speedup_vs_dense_fused": (
+                None if degraded else round(t_fused / t_sparse, 2)
+            ),
+            "grid_points_per_sec_fused": (
+                None if degraded else round(n**3 / t_fused)
+            ),
             "extract_device_s": round(extract_device_s, 4),
             "extract_march_s": round(t_march, 4),
             "extract_march_exact_s": round(t_march_exact, 4),
@@ -236,6 +304,13 @@ def main():
             "n_devices": len(jax.devices()),
         },
     }
+    if degraded:
+        result["extras"]["relay_outage"] = True
+        result["extras"]["backend"] = "cpu-fallback"
+        result["extras"]["note"] = (
+            "accelerator backend unreachable after retries; measured on "
+            "CPU at smoke sizes — NOT comparable to the TPU baseline"
+        )
     print(json.dumps(result))
 
 

@@ -12,7 +12,7 @@ def test_label_subprocess_code_compiles():
     m = re.search(r"label_code = \(\n(.*?)\n    \)\n", src, re.S)
     assert m, "label_code template not found"
     # evaluate the template literal the same way bench.py builds it
-    ns = {"sub": 4, "n_label": 1000}
+    ns = {"sub": 4, "n_label": 1000, "degraded": True}
     code_expr = "(" + m.group(1) + ")"
     template = eval(code_expr, {}, ns)  # concatenated f-strings
     for flag in ("None", "False"):
