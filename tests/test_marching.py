@@ -1,5 +1,7 @@
 """Marching-tetrahedra isosurface tests against analytic fields."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -261,3 +263,39 @@ def test_packed_wire_empty_level_set():
     vol = np.full((16, 16, 16), 2.0, np.float32)
     (_, _, f_u), (vs_p, t_p, f_p), _ = _packed_vs_unpacked(vol)
     assert len(f_p) == 0 and len(vs_p) == 0 and len(f_u) == 0
+
+
+def test_compact_mode_scatter_matches_host():
+    """The legacy input-sized scatter compaction (MARCH_COMPACT=scatter,
+    kept for hardware A/B against the round-4 packed-word enumeration)
+    must extract the exact same triangle soup as the host path. Runs in a
+    subprocess because the mode is bound at module import."""
+    import subprocess
+    import sys
+
+    code = r"""
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from sdf_representation_tpu.ops import marching_device as md
+assert md._COMPACT_MODE == "scatter", md._COMPACT_MODE
+from sdf_representation_tpu.ops.marching import marching_cubes
+ax = np.linspace(-1, 1, 24)
+x, y, z = np.meshgrid(ax, ax, ax, indexing="ij")
+vol = (np.sqrt(x**2 + y**2 + z**2) - 0.5).astype(np.float32)
+vh, fh = marching_cubes(vol, 0.0)
+vd, fd = marching_cubes(jnp.asarray(vol), 0.0)
+assert len(fh) == len(fd) and len(vh) == len(vd), (len(fh), len(fd))
+def canon(verts, faces):
+    tris = verts[faces].reshape(len(faces), 3, 3)
+    order = np.lexsort((tris[:, :, 2], tris[:, :, 1], tris[:, :, 0]), axis=1)
+    arr = np.take_along_axis(tris, order[:, :, None], axis=1).reshape(-1, 9)
+    return arr[np.lexsort(arr.T[::-1])]
+np.testing.assert_array_equal(canon(vh, fh), canon(vd, fd))
+print("SCATTER_MODE_OK")
+"""
+    env = dict(os.environ, MARCH_COMPACT="scatter", JAX_PLATFORMS="cpu")
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=600)
+    assert "SCATTER_MODE_OK" in r.stdout, r.stdout + r.stderr
