@@ -156,6 +156,64 @@ def bracket_sdf(points: np.ndarray) -> np.ndarray:
     return np.minimum(body, block)
 
 
+def impeller_sdf(points: np.ndarray, n_blades: int = 6,
+                 twist: float = 1.2) -> np.ndarray:
+    """CSG field of the second hard showcase geometry: a shrouded impeller
+    (turbine stand-in for the reference's CAD set, README.md:38-39
+    bunny/turbine/pipe) — an annular hub, `n_blades` thin TWISTED blades,
+    and an outer shroud ring. Thin curved plates, sharp edges, one
+    connected component of genus 7 (hub torus + ring torus joined by 6
+    handles), Euler characteristic -12.
+
+    union = min, subtraction = max(a, -b). The blade SDF is evaluated in a
+    z-dependent rotated frame (twist*z about z): the rotation is bijective,
+    so SIGNS and the zero set are exact everywhere; distances distort
+    slightly off-surface (irrelevant for level-set extraction, which only
+    interpolates sign crossings)."""
+    p = np.asarray(points, dtype=np.float64)
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    r = np.sqrt(x * x + y * y)
+    # annular hub: 0.10 <= r <= 0.30, |z| <= 0.16
+    hub = np.maximum(
+        np.maximum(r - 0.30, np.abs(z) - 0.16), 0.10 - r
+    )
+    # shroud ring: 0.72 <= r <= 0.84, |z| <= 0.10
+    ring = np.maximum(
+        np.maximum(r - 0.84, np.abs(z) - 0.10), 0.72 - r
+    )
+    body = np.minimum(hub, ring)
+    # blades: radial boxes in the twisted frame, spanning hub -> ring
+    for k in range(n_blades):
+        ang = 2.0 * np.pi * k / n_blades + twist * z
+        c, s = np.cos(ang), np.sin(ang)
+        xr = c * x + s * y - 0.51
+        yr = -s * x + c * y
+        blade = np.maximum(
+            np.maximum(np.abs(xr) - 0.26, np.abs(yr) - 0.035),
+            np.abs(z) - 0.09,
+        )
+        body = np.minimum(body, blade)
+    return body
+
+
+def make_impeller(resolution: int = 192, n_blades: int = 6,
+                  twist: float = 1.2) -> Mesh:
+    """Triangle mesh of `impeller_sdf`, extracted with the project's own
+    marching cubes on a resolution^3 grid over [-1, 1]^3."""
+    from ..ops.marching import marching_cubes
+
+    ax = np.linspace(-1.0, 1.0, resolution, dtype=np.float64)
+    pts = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"), axis=-1)
+    vol = impeller_sdf(
+        pts.reshape(-1, 3), n_blades=n_blades, twist=twist
+    ).reshape(resolution, resolution, resolution)
+    step = 2.0 / (resolution - 1)
+    verts, faces = marching_cubes(
+        vol.astype(np.float32), 0.0, (step, step, step), (-1.0, -1.0, -1.0)
+    )
+    return Mesh(verts, faces)
+
+
 def make_bracket(resolution: int = 192) -> Mesh:
     """Triangle mesh of `bracket_sdf`, extracted with the project's own
     marching cubes on a resolution^3 grid over [-1, 1]^3."""
