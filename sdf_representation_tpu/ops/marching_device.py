@@ -632,7 +632,15 @@ def _index_tables():
     return _IDX_TABLES
 
 
-_POP7 = np.array([bin(i).count("1") for i in range(128)], np.int64)
+_POP7 = np.array([bin(i).count("1") for i in range(128)], np.uint8)
+# ascending set-bit positions per 7-bit value (padded with 0): vectorized
+# set-bit enumeration without a python-level nonzero over an (N, 7) blowup
+_DPOS7 = np.zeros((128, 7), np.int8)
+for _v in range(128):
+    _bits = [_d for _d in range(7) if (_v >> _d) & 1]
+    _DPOS7[_v, : len(_bits)] = _bits
+del _v, _bits
+_NTRIS_U8 = _NTRIS_NP.astype(np.uint8)
 
 
 def decode_packed_wire(words, t_q, bids, shape):
@@ -646,45 +654,62 @@ def decode_packed_wire(words, t_q, bids, shape):
     quantum (1/65535 of a cell edge). Cuts the D2H wire ~10x at 512^3
     (109 MB -> ~10 MB) and lets the device skip the mixed-cube + emission
     stages. Role match: the STL deliverable fetch of reference
-    executor/executor.py:388-400."""
+    executor/executor.py:388-400.
+
+    Hot-path layout (round 4, ~5x over the first version): the whole
+    per-core sweep runs in uint8/int32 (the original all-int64 passes moved
+    ~1.2 GB at 512^3), sign bits expand via np.unpackbits, vertices
+    enumerate through the _DPOS7 set-bit-position table instead of an
+    (N, 7) np.nonzero blowup, and tet cases stay in six per-tet uint8
+    arrays (gathered per mixed cube) instead of one packed 24-bit word."""
     nx, ny, nz = (int(v) for v in shape)
     nbx, nby, nbz = -(-nx // _B), -(-ny // _B), -(-nz // _B)
     nb3 = nbx * nby * nbz
     li, lj, lk, core_flat, hi_flat, corner_flat = _index_tables()
+    li32 = li.astype(np.int32)
+    lj32 = lj.astype(np.int32)
+    lk32 = lk.astype(np.int32)
     bids = np.asarray(bids, np.int64)
     L = len(bids)
     if L == 0:
         return (np.zeros(0, np.int64), np.zeros(0, np.float64),
                 np.zeros((0, 3), np.int64))
-    w = np.asarray(words, np.uint32)
-    bitmat = (w[:, :, None] >> np.arange(32, dtype=np.uint32)) & np.uint32(1)
-    sgb = bitmat.reshape(L, -1)[:, : _H * _H * _H].astype(bool)
+    w = np.ascontiguousarray(np.asarray(words, np.uint32))
+    # little-endian uint32 words: flattened halo bit k == unpacked bit k
+    sgb = np.unpackbits(
+        w.view(np.uint8), axis=1, bitorder="little"
+    )[:, : _H * _H * _H]  # (L, 729) uint8 in {0, 1}
 
-    bx = bids // (nby * nbz)
-    by = (bids // nbz) % nby
-    bz = bids % nbz
-    gx0, gy0, gz0 = bx * _B, by * _B, bz * _B
+    bx = (bids // (nby * nbz)).astype(np.int32)
+    by = ((bids // nbz) % nby).astype(np.int32)
+    bz = (bids % nbz).astype(np.int32)
 
     # ---- stage 3: per-core live-edge bitmasks (same masks as device) ----
+    # coordinate planes reused by the bound masks AND cube_ok below
+    gxc = (bx * _B)[:, None] + li32[None, :]
+    gyc = (by * _B)[:, None] + lj32[None, :]
+    gzc = (bz * _B)[:, None] + lk32[None, :]
+    okx0, okx1 = gxc <= nx - 1, gxc <= nx - 2
+    oky0, oky1 = gyc <= ny - 1, gyc <= ny - 2
+    okz0, okz1 = gzc <= nz - 1, gzc <= nz - 2
     s_lo = sgb[:, core_flat]
-    okx1 = gx0[:, None] + (li + 1)[None, :] <= nx - 1
-    oky1 = gy0[:, None] + (lj + 1)[None, :] <= ny - 1
-    okz1 = gz0[:, None] + (lk + 1)[None, :] <= nz - 1
-    okx0 = gx0[:, None] + li[None, :] <= nx - 1
-    oky0 = gy0[:, None] + lj[None, :] <= ny - 1
-    okz0 = gz0[:, None] + lk[None, :] <= nz - 1
-    Lbits = np.zeros((L, 512), np.int64)
+    Lbits = np.zeros((L, 512), np.uint8)
     for d, (dx, dy, dz) in enumerate(_DIRS):
         ld = s_lo != sgb[:, hi_flat[d]]
         ok_d = ((okx1 if dx else okx0) & (oky1 if dy else oky0)
                 & (okz1 if dz else okz0))
-        Lbits |= np.where(ld & ok_d, np.int64(1 << d), 0)
-    lf = Lbits.reshape(-1)
+        Lbits += (ld & ok_d).astype(np.uint8) * np.uint8(1 << d)
+    lf = Lbits.reshape(-1)  # (L*512,) uint8
 
     # ---- vertices: row-major (core, direction) enumeration == the
     # device's cvbase order, so t_q[k] belongs to vertex k ----
-    bit7 = ((lf[:, None] >> np.arange(7)) & 1).astype(bool)
-    core_idx, d_v = np.nonzero(bit7)
+    nz_core = np.flatnonzero(lf)  # ascending -> core-major order preserved
+    lf_nz = lf[nz_core]
+    ncf_nz = _POP7[lf_nz]
+    # ascending bit positions per live core, masked to the live count
+    sel = np.arange(7, dtype=np.uint8)[None, :] < ncf_nz[:, None]
+    d_v = _DPOS7[lf_nz][sel].astype(np.int64)  # (V,)
+    core_idx = np.repeat(nz_core, ncf_nz)
     row_v = core_idx // 512
     lflat = core_idx % 512
     bid_v = bids[row_v]
@@ -693,55 +718,65 @@ def decode_packed_wire(words, t_q, bids, shape):
     gyv = ((bid_v // nbz) % nby) * _B + lyv
     gzv = (bid_v % nbz) * _B + lzv
     vslots = ((gxv * ny + gyv) * nz + gzv) * 7 + d_v
-    ncf = bit7.sum(axis=1).astype(np.int64)
-    cvbase = np.cumsum(ncf) - ncf
+    # global exclusive vertex prefix per core (values < 2^24 by the budget
+    # guard, so int32 is exact)
+    ncf = _POP7[lf]
+    cvbase = np.cumsum(ncf, dtype=np.int32) - ncf
 
     # ---- stages 6-7: mixed cubes + triangle enumeration ----
-    inside = [sgb[:, corner_flat[c]] for c in range(8)]
-    casepack = np.zeros((L, 512), np.int64)
+    # prefilter: a cube emits triangles only if its 8 corners are mixed —
+    # tet cases are then computed ONLY at candidate cubes (~surface count,
+    # ~5% of L*512), not over the full core space
+    inside = [sgb[:, corner_flat[c]] for c in range(8)]  # uint8 {0,1}
+    csum = np.zeros((L, 512), np.uint8)
+    for c in range(8):
+        csum += inside[c]
+    cube_ok = okx1 & oky1 & okz1
+    mixed = ((csum > 0) & (csum < 8) & cube_ok).reshape(-1)
+    cand = np.flatnonzero(mixed)  # ascending flat cube ids
+    inside_c = [inside[c].reshape(-1)[cand] for c in range(8)]
+    case_tet = []
+    ntr_cand = np.zeros(len(cand), np.uint8)
     for tet in range(6):
-        cs = np.zeros((L, 512), np.int64)
+        cs = np.zeros(len(cand), np.uint8)
         for bit, corner in enumerate(_TETS[tet]):
-            cs += inside[int(corner)].astype(np.int64) << bit
-        casepack |= cs << (4 * tet)
-    cube_ok = (
-        (gx0[:, None] + li[None, :] <= nx - 2)
-        & (gy0[:, None] + lj[None, :] <= ny - 2)
-        & (gz0[:, None] + lk[None, :] <= nz - 2)
-    )
-    ntr_total = sum(
-        _NTRIS_NP[(casepack >> (4 * tet)) & 15].astype(np.int64)
-        for tet in range(6)
-    )
-    ntr = np.where(cube_ok, ntr_total, 0).reshape(-1)
-    midx = np.flatnonzero(ntr > 0)
-    reps = ntr[midx]
+            cs += inside_c[int(corner)] * np.uint8(1 << bit)
+        case_tet.append(cs)
+        ntr_cand += _NTRIS_U8[cs]
+    sel_t = np.flatnonzero(ntr_cand)
+    midx = cand[sel_t]
+    reps = ntr_cand[sel_t].astype(np.int64)
     count_t = int(reps.sum())
     if count_t == 0:
         return (vslots.astype(np.int64),
                 np.asarray(t_q, np.float64) / 65535.0,
                 np.zeros((0, 3), np.int64))
-    tri_cube = np.repeat(midx, reps)
-    offs = np.repeat(np.cumsum(reps) - reps, reps)
-    rtri = np.arange(count_t, dtype=np.int64) - offs
-    cases_t = casepack.reshape(-1)[tri_cube]
-    low = np.zeros(count_t, np.int64)
-    tet_t = np.zeros(count_t, np.int64)
-    k_t = np.zeros(count_t, np.int64)
+    tri_cand = np.repeat(sel_t, reps).astype(np.int32)  # index into cand
+    tri_cube = cand[tri_cand]
+    offs = np.repeat((np.cumsum(reps) - reps).astype(np.int32),
+                     reps)
+    rtri = np.arange(count_t, dtype=np.int32) - offs
+    low = np.zeros(count_t, np.int32)
+    tet_t = np.zeros(count_t, np.uint8)
+    k_t = np.zeros(count_t, np.uint8)
+    case_t = np.zeros(count_t, np.uint8)
     for tet in range(6):
-        nt = _NTRIS_NP[(cases_t >> (4 * tet)) & 15].astype(np.int64)
+        ct = case_tet[tet][tri_cand]
+        nt = _NTRIS_U8[ct].astype(np.int32)
         hit = (rtri >= low) & (rtri < low + nt)
-        tet_t = np.where(hit, tet, tet_t)
-        k_t = np.where(hit, rtri - low, k_t)
+        tet_t = np.where(hit, np.uint8(tet), tet_t)
+        k_t = np.where(hit, (rtri - low).astype(np.uint8), k_t)
+        case_t = np.where(hit, ct, case_t)
         low = low + nt
-    case_t = (cases_t >> (4 * tet_t)) & 15
-    pt = _PTBL_NP[(tet_t * 16 + case_t) * 2 + k_t].astype(np.int64)
+    pt = _PTBL_NP[
+        (tet_t.astype(np.int32) * 16 + case_t) * 2 + k_t
+    ]  # int32
 
-    # ---- stage 8: emission ----
-    inv = np.full(nb3, -1, np.int64)
-    inv[bids] = np.arange(L)
-    bid_t = bids[tri_cube // 512]
-    lcube = tri_cube % 512
+    # ---- stage 8: emission (int32 throughout; all values < 2^31) ----
+    inv = np.full(nb3, -1, np.int32)
+    inv[bids] = np.arange(L, dtype=np.int32)
+    bid_t = bids[tri_cube // 512].astype(np.int32)
+    lcube = (tri_cube % 512).astype(np.int32)
     bx_t = bid_t // (nby * nbz)
     by_t = (bid_t // nbz) % nby
     bz_t = bid_t % nbz
@@ -756,13 +791,13 @@ def decode_packed_wire(words, t_q, bids, shape):
                     + (bz_t + (lze >> 3))]
         assert (owner >= 0).all(), "packed wire: edge owner block not live"
         ci = owner * 512 + ((lxe & 7) * 8 + (lye & 7)) * 8 + (lze & 7)
-        bitsw = lf[ci]
-        rank = _POP7[bitsw & ((np.int64(1) << d_e) - 1)]
+        bitsw = lf[ci].astype(np.int32)
+        rank = _POP7[bitsw & ((np.int32(1) << d_e) - 1)]
         cols.append(cvbase[ci] + rank)
     flips = (pt >> 18) & 1
     f0 = np.where(flips == 1, cols[2], cols[0])
     f2 = np.where(flips == 1, cols[0], cols[2])
-    faces = np.stack([f0, cols[1], f2], axis=1)
+    faces = np.stack([f0, cols[1], f2], axis=1).astype(np.int64)
     t = np.asarray(t_q, np.float64) / 65535.0
     return vslots.astype(np.int64), t, faces
 
