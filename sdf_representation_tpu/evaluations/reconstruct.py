@@ -43,6 +43,22 @@ def reconstruct_mesh(
     from ..models.hash_mlp import HashMLP
     from ..models.implicit_net import ImplicitNet
 
+    if (
+        isinstance(model, ImplicitNet)
+        and cubesize % 8 == 0
+        and cubesize**3 * 7 >= 2**31
+    ):
+        # past the single-dispatch extractor's int32 slot space (~645^3):
+        # slab-streamed eval + marching, merged on host (ops/giga_extract) —
+        # identical mesh, bounded device memory
+        from ..ops.giga_extract import extract_mesh_giga
+
+        verts, faces = extract_mesh_giga(
+            model, params, cubesize, level=level, wire="packed",
+            on_violation="dense",
+            interpret=jax.devices()[0].platform == "cpu",
+        )
+        return Mesh(verts, faces)
     if isinstance(model, HashMLP):
         from ..ops.hash_grid_eval import hash_grid_eval
 

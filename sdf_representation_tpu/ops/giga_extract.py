@@ -1,0 +1,319 @@
+"""Slab-streamed field->mesh extraction past single-dispatch limits.
+
+The on-device extractor (ops/marching_device.py) encodes a vertex slot as
+``gid*7 + dir`` in int32 and packs core words as ``cvbase << 7`` — caps of
+~645^3 grid points and 2^24 vertices per dispatch. This module lifts both by
+tiling the grid into x-slabs: each slab is evaluated and marched on device
+within the int32 caps, and the slab meshes are merged on host in int64
+GLOBAL slot space. Because a vertex slot names a *grid edge* (low-corner
+lattice id + one of 7 directions), vertices on a shared slab plane receive
+identical global slots from both neighbouring slabs and dedup exactly —
+merging is a `np.unique`, not a nearest-neighbour weld; topology is
+bit-identical to a (hypothetical) single-dispatch extraction. Cube layers
+are partitioned disjointly so no face is emitted twice.
+
+Field values on shared planes are evaluated twice (once per adjacent slab)
+but BITWISE EQUALLY: the slab evaluator runs the same Pallas block kernel
+on the same global block ids as the full-grid sparse evaluator
+(ops/sparse_grid.py), so the duplicated vertices carry identical t.
+
+This is the role the reference delegates to its out-of-core octree consumer
+(reference ops/DeepTrace/src/deeptrace.cpp:59-81) and the scale axis of its
+reconstruction contract (reference executor/executor.py:346-400, fixed
+cubesize): field->mesh at 1024^3+ on one chip, bounded device memory
+(one slab volume resident at a time, ~(slab+1)*n^2 floats).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.implicit_net import ImplicitNet
+from .marching_device import (
+    decode_vertices,
+    marching_tets_device,
+    marching_tets_device_packed,
+)
+from .pallas_mlp import prepare_fused_weights
+from .sparse_grid import _make_block_kernel, active_threshold
+
+_SLOT_DIRS = 7  # edge directions per lattice point in the tet decomposition
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "n", "block", "safety", "eps"),
+)
+def _coarse_field(model, params, n, block, safety, eps):
+    """Global coarse sweep + activity mask + exactness certificate.
+
+    Same selection rule and certificate as ops/sparse_grid.py (docstring
+    there); run ONCE for the whole grid, shared by every slab."""
+    nb = n // block
+    nb3 = nb * nb * nb
+    s = 2.0 / (n - 1)
+    tau = active_threshold(n, block, safety, eps)
+    flat = jnp.arange(nb3, dtype=jnp.int32)
+    cz = flat % nb
+    cy = (flat // nb) % nb
+    cx = flat // (nb * nb)
+    half = (block - 1) / 2.0
+    centers = jnp.stack(
+        [
+            -1.0 + s * (cx.astype(jnp.float32) * block + half),
+            -1.0 + s * (cy.astype(jnp.float32) * block + half),
+            -1.0 + s * (cz.astype(jnp.float32) * block + half),
+        ],
+        axis=-1,
+    )
+    coarse = model.apply(params, centers).astype(jnp.float32)
+    mask = jnp.abs(coarse) <= tau
+
+    c3 = (coarse <= 0.0).reshape(nb, nb, nb)
+    i3 = jnp.logical_not(mask).reshape(nb, nb, nb)
+    viol = jnp.int32(0)
+    for ax in range(3):
+        lo = [slice(None)] * 3
+        hi = [slice(None)] * 3
+        lo[ax] = slice(None, -1)
+        hi[ax] = slice(1, None)
+        bad = (c3[tuple(lo)] != c3[tuple(hi)]) & i3[tuple(lo)] & i3[tuple(hi)]
+        viol = viol + jnp.sum(bad.astype(jnp.int32))
+    return coarse, mask, viol
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "n", "block", "k_max", "nxb", "tile_blocks",
+                     "compute_dtype", "interpret", "mxu_precision"),
+)
+def _refine_slab(
+    model, params, coarse, mask, xb0, n, block, k_max, nxb, tile_blocks,
+    compute_dtype, interpret, mxu_precision,
+):
+    """Refine the active blocks of block-rows [xb0, xb0+nxb) and assemble
+    the (nxb*block, n, n) slab volume. xb0 is a TRACED scalar: one compile
+    serves every slab."""
+    nb = n // block
+    nb3 = nb * nb * nb
+    nb2 = nb * nb
+    pts = block * block * block
+    s = 2.0 / (n - 1)
+
+    flat = jnp.arange(nb3, dtype=jnp.int32)
+    bx = flat // nb2
+    inslab = (bx >= xb0) & (bx < xb0 + nxb)
+    m = mask & inslab
+    count = jnp.sum(m.astype(jnp.int32))
+    (ids,) = jnp.nonzero(m, size=k_max, fill_value=0)
+    ids = ids.astype(jnp.int32)
+
+    weights, spec, _ = prepare_fused_weights(model, params, compute_dtype)
+    tile_p = tile_blocks * pts
+    n_tiles = k_max // tile_blocks
+    kernel = _make_block_kernel(
+        spec, model.beta, nb, block, s, tile_blocks, k_max, compute_dtype,
+        mxu_precision,
+    )
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(w.shape, lambda i, ids_ref, nd=w.ndim: (0,) * nd,
+                         memory_space=pltpu.VMEM)
+            for w in weights
+        ],
+        out_specs=pl.BlockSpec((8, tile_p // 8), lambda i, ids_ref: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    fine = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles * 8, tile_p // 8),
+                                       jnp.float32),
+        interpret=interpret,
+    )(jnp.concatenate([ids, count[None].astype(jnp.int32)]), *weights)
+    vals = fine.reshape(k_max, pts)
+
+    # slab-local assembly: coarse fill (padded past the right grid edge so
+    # the dynamic_slice stays in bounds; pad rows are never sliced into the
+    # returned planes) + scatter of refined blocks at slab-local offsets
+    coarse_pad = jnp.concatenate(
+        [coarse, jnp.full((nxb * nb2,), 3.0, jnp.float32)]
+    )
+    slab_coarse = jax.lax.dynamic_slice(
+        coarse_pad, (xb0 * nb2,), (nxb * nb2,)
+    )
+    valid = jnp.arange(k_max, dtype=jnp.int32) < count
+    ids_local = jnp.where(valid, ids - xb0 * nb2, nxb * nb2)
+    vol_blocked = jnp.broadcast_to(slab_coarse[:, None], (nxb * nb2, pts))
+    vol_blocked = vol_blocked.at[ids_local].set(vals, mode="drop")
+    vol = (
+        vol_blocked.reshape(nxb, nb, nb, block, block, block)
+        .transpose(0, 3, 1, 4, 2, 5)
+        .reshape(nxb * block, n, n)
+    )
+    return vol, count
+
+
+def _slab_plan(n: int, slab: int):
+    """Disjoint cube-layer partition: slab k covers cube layers
+    [k*slab, min((k+1)*slab, n-1)) and needs planes [x0, x1] inclusive."""
+    plan = []
+    for x0 in range(0, n - 1, slab):
+        x1 = min(x0 + slab, n - 1)
+        plan.append((x0, x1 - x0 + 1))
+    return plan
+
+
+def default_slab(n: int, block: int = 8) -> int:
+    """Largest block-aligned slab whose plane count fits the int32 slot
+    space (with one plane of overlap)."""
+    max_planes = (2**31 - 1) // (_SLOT_DIRS * n * n)
+    slab = max(block, ((max_planes - 1) // block) * block)
+    return min(slab, ((n - 1 + block - 1) // block) * block)
+
+
+def extract_mesh_giga(
+    model: Optional[ImplicitNet],
+    params,
+    n: int,
+    *,
+    level: float = 0.0,
+    slab: Optional[int] = None,
+    block: int = 8,
+    safety: float = 1.5,
+    eps: float = 0.01,
+    tile_blocks: int = 2,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+    mxu_precision: str = "default",
+    wire: str = "packed",
+    on_violation: str = "error",
+    vol_fn: Optional[Callable[[int, int], jnp.ndarray]] = None,
+    spacing: Optional[float] = None,
+    origin: float = -1.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Extract the ``level`` set of the field on the n^3 grid in [-1,1]^3,
+    slab by slab. Returns (vertices (V, 3) float64 world coords,
+    faces (T, 3) int64) — the same contract as
+    ops/marching_device.marching_cubes_device, without its ~645^3 grid or
+    2^24-vertex caps.
+
+    vol_fn(x0, sx) -> (sx, n, n) field values on planes [x0, x0+sx) may be
+    supplied to extract from any field (tests use dense slices); by default
+    it is built from the hierarchical sparse evaluator: one global coarse
+    sweep + certificate, then per-slab Pallas refinement of active blocks
+    (a single compiled dispatch reused by every slab — the slab offset is a
+    traced scalar).
+
+    on_violation: response to a sparse-selection certificate violation
+    (see ops/sparse_grid.sparse_grid_eval): "error" (default — there is no
+    cheap dense fallback at giga scale), "warn", or "dense" (refine EVERY
+    block of every slab: dense-eval cost, bounded memory).
+    """
+    if n % block:
+        raise ValueError(f"n={n} must be divisible by block={block}")
+    if slab is None:
+        slab = default_slab(n, block)
+    if slab % block:
+        raise ValueError(f"slab={slab} must be divisible by block={block}")
+    if (slab + 1) * n * n * _SLOT_DIRS >= 2**31:
+        raise ValueError(
+            f"slab={slab} planes exceed the per-dispatch int32 slot space"
+        )
+    if on_violation not in ("dense", "error", "warn"):
+        raise ValueError(f"on_violation={on_violation!r}")
+
+    nb = n // block
+    nb2 = nb * nb
+    nxb = slab // block + 1  # +1: the shared plane lives in the next row
+    plan = _slab_plan(n, slab)
+
+    if vol_fn is None:
+        if not isinstance(model, ImplicitNet):
+            raise ValueError(
+                "default slab evaluator requires an ImplicitNet; pass "
+                "vol_fn for other fields"
+            )
+        coarse, mask, viol = _coarse_field(
+            model, params, n, block, float(safety), float(eps)
+        )
+        if int(viol) > 0:
+            msg = (
+                f"extract_mesh_giga certificate: {int(viol)} adjacent "
+                f"inactive block pair(s) disagree in center sign at n={n} "
+                f"(safety={safety}) — the sparse sweep would miss surface"
+            )
+            if on_violation == "error":
+                raise ValueError(msg)
+            print(f"[giga_extract] {msg}; "
+                  + ("refining ALL blocks" if on_violation == "dense"
+                     else "proceeding (on_violation='warn')"), flush=True)
+            if on_violation == "dense":
+                mask = jnp.ones_like(mask)
+        # exact per-slab active counts (host): one static k_max, no growth
+        mask_h = np.asarray(mask)
+        bx_h = np.arange(nb * nb2, dtype=np.int64) // nb2
+        k_need = 0
+        for x0, _ in plan:
+            xb0 = x0 // block
+            sel = mask_h & (bx_h >= xb0) & (bx_h < xb0 + nxb)
+            k_need = max(k_need, int(sel.sum()))
+        k_max = max(tile_blocks, -(-k_need // tile_blocks) * tile_blocks)
+
+        def vol_fn(x0, sx):
+            vol, _ = _refine_slab(
+                model, params, coarse, mask, jnp.int32(x0 // block), n,
+                block, k_max, nxb, tile_blocks, compute_dtype, interpret,
+                mxu_precision,
+            )
+            return vol[:sx]
+
+    march = (marching_tets_device_packed if wire == "packed"
+             else marching_tets_device)
+    slots_all, t_all, faces_all = [], [], []
+    v_off = 0
+    for x0, sx in plan:
+        vol_slab = vol_fn(x0, sx)
+        if not isinstance(vol_slab, jnp.ndarray):
+            vol_slab = jnp.asarray(np.asarray(vol_slab, dtype=np.float32))
+        out = march(vol_slab, level)
+        vslots, t, faces = out[0], out[1], out[2]
+        slots_all.append(
+            np.asarray(vslots, np.int64) + np.int64(x0) * n * n * _SLOT_DIRS
+        )
+        t_all.append(np.asarray(t, np.float64))
+        faces_all.append(np.asarray(faces, np.int64) + v_off)
+        v_off += len(vslots)
+
+    if v_off == 0:
+        return np.zeros((0, 3)), np.zeros((0, 3), dtype=np.int64)
+    slots = np.concatenate(slots_all)
+    t = np.concatenate(t_all)
+    faces = np.concatenate(faces_all) if faces_all else np.zeros(
+        (0, 3), np.int64
+    )
+    # merge: shared-plane vertices carry identical global slots (and
+    # identical t — same field bits on both sides); np.unique dedups them
+    uniq, first, inv = np.unique(slots, return_index=True,
+                                 return_inverse=True)
+    faces = inv[faces]
+    ok = (
+        (faces[:, 0] != faces[:, 1])
+        & (faces[:, 1] != faces[:, 2])
+        & (faces[:, 0] != faces[:, 2])
+    )
+    s = 2.0 / (n - 1) if spacing is None else float(spacing)
+    verts = decode_vertices(uniq, t[first], (n, n, n), (s, s, s),
+                            (origin,) * 3)
+    return verts, faces[ok]
