@@ -21,7 +21,8 @@ This is the role the reference delegates to its out-of-core octree consumer
 (reference ops/DeepTrace/src/deeptrace.cpp:59-81) and the scale axis of its
 reconstruction contract (reference executor/executor.py:346-400, fixed
 cubesize): field->mesh at 1024^3+ on one chip, bounded device memory
-(one slab volume resident at a time, ~(slab+1)*n^2 floats).
+(at most two slab volumes resident — current + prefetched, ~(slab+1)*n^2
+floats each).
 """
 
 from __future__ import annotations
@@ -281,12 +282,22 @@ def extract_mesh_giga(
 
     march = (marching_tets_device_packed if wire == "packed"
              else marching_tets_device)
-    slots_all, t_all, faces_all = [], [], []
-    v_off = 0
-    for x0, sx in plan:
-        vol_slab = vol_fn(x0, sx)
+
+    def _vol(i):
+        vol_slab = vol_fn(*plan[i])
         if not isinstance(vol_slab, jnp.ndarray):
             vol_slab = jnp.asarray(np.asarray(vol_slab, dtype=np.float32))
+        return vol_slab
+
+    slots_all, t_all, faces_all = [], [], []
+    v_off = 0
+    vol_slab = _vol(0)
+    for i, (x0, sx) in enumerate(plan):
+        # prefetch: dispatch the NEXT slab's evaluation before this slab's
+        # march results are fetched/decoded — the device fills with slab
+        # i+1 while the host does slab i's D2H + topology rebuild (the
+        # fetch, not compute, dominates on slow links)
+        next_vol = _vol(i + 1) if i + 1 < len(plan) else None
         out = march(vol_slab, level)
         vslots, t, faces = out[0], out[1], out[2]
         slots_all.append(
@@ -295,6 +306,7 @@ def extract_mesh_giga(
         t_all.append(np.asarray(t, np.float64))
         faces_all.append(np.asarray(faces, np.int64) + v_off)
         v_off += len(vslots)
+        vol_slab = next_vol
 
     if v_off == 0:
         return np.zeros((0, 3)), np.zeros((0, 3), dtype=np.int64)

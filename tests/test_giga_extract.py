@@ -159,6 +159,40 @@ def test_giga_validates_inputs():
                           vol_fn=lambda x0, sx: None)
 
 
+def test_giga_seam_fuzz_random_fields():
+    """Random smooth-ish volumes put arbitrary crossing configurations ON
+    the slab planes (including vertices exactly on seam edges and cells
+    straddling two slabs) — the merged mesh must still equal the
+    single-dispatch mesh exactly."""
+    rng = np.random.default_rng(7)
+    n = 24
+    s = 2.0 / (n - 1)
+    for trial in range(4):
+        # band-limited noise: random coarse grid, trilinearly upsampled,
+        # plus a bias so both signs occur; crossings land everywhere
+        coarse = rng.standard_normal((7, 7, 7)).astype(np.float32)
+        ax = np.linspace(0, 6, n)
+        ix = np.minimum(ax.astype(np.int32), 5)
+        fx = (ax - ix).astype(np.float32)
+
+        def lerp(a, idx, frac, axis):
+            lo = np.take(a, idx, axis=axis)
+            hi = np.take(a, np.minimum(idx + 1, 6), axis=axis)
+            sh = [1, 1, 1]
+            sh[axis] = -1
+            return lo + (hi - lo) * frac.reshape(sh)
+
+        vol = lerp(lerp(lerp(coarse, ix, fx, 0), ix, fx, 1), ix, fx, 2)
+        ref = marching_cubes_device(jnp.asarray(vol), 0.0, (s,) * 3,
+                                    (-1.0,) * 3, wire="exact")
+        giga = extract_mesh_giga(
+            None, None, n, slab=8, wire="exact",
+            vol_fn=lambda x0, sx: jnp.asarray(vol[x0:x0 + sx]),
+        )
+        assert len(ref[1]) > 0
+        _assert_same_mesh(giga, ref)
+
+
 def test_giga_empty_level_set():
     model, params = _model_and_params()
     verts, faces = extract_mesh_giga(
