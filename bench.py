@@ -172,6 +172,22 @@ def main():
     extract_device_s = t_eval2 + t_march
     extract_total_s = extract_device_s + t_fetch + t_decode
 
+    # slab-streamed extraction past the single-dispatch caps (1024^3;
+    # ops/giga_extract). Full-TPU mode only — compile + merge are minutes
+    # on CPU. BENCH_GIGA=0 skips (e.g. while tuning other stages).
+    giga_n = giga_total_s = giga_verts = giga_faces = None
+    if (not quick and not degraded
+            and os.environ.get("BENCH_GIGA", "1") != "0"):
+        from sdf_representation_tpu.ops.giga_extract import extract_mesh_giga
+
+        giga_n = 1024
+        extract_mesh_giga(model, params, giga_n, wire="packed")  # compile
+        t0 = time.perf_counter()
+        gv, gf = extract_mesh_giga(model, params, giga_n, wire="packed")
+        giga_total_s = time.perf_counter() - t0
+        giga_verts, giga_faces = len(gv), len(gf)
+        del gv, gf
+
     # training throughput: whole-epoch jitted loop, WeightedSmoothL2
     import optax
 
@@ -294,6 +310,11 @@ def main():
             "extract_wire_mbps": round(wire_mb / max(t_fetch, 1e-9), 1),
             "extract_verts": cv,
             "extract_faces": ct,
+            "extract_giga_n": giga_n,
+            "extract_giga_total_s": (round(giga_total_s, 4)
+                                     if giga_total_s else None),
+            "extract_giga_verts": giga_verts,
+            "extract_giga_faces": giga_faces,
             "train_points_per_sec": round(train_pps),
             "train_batch": batch,
             "train_precision": "mixed_bf16",
