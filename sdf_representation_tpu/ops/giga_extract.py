@@ -203,6 +203,7 @@ def extract_mesh_giga(
     vol_fn: Optional[Callable[[int, int], jnp.ndarray]] = None,
     spacing: Optional[float] = None,
     origin: float = -1.0,
+    devices=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Extract the ``level`` set of the field on the n^3 grid in [-1,1]^3,
     slab by slab. Returns (vertices (V, 3) float64 world coords,
@@ -221,6 +222,14 @@ def extract_mesh_giga(
     (see ops/sparse_grid.sparse_grid_eval): "error" (default — there is no
     cheap dense fallback at giga scale), "warn", or "dense" (refine EVERY
     block of every slab: dense-eval cost, bounded memory).
+
+    devices: a sequence of jax.Device — slabs round-robin over them
+    (weights/coarse replicated per device, each device refines AND marches
+    its own slabs concurrently; the host drains results in slab order, so
+    the merged mesh is identical regardless of device count). Extraction
+    is embarrassingly parallel in slabs: this is the multi-chip scaling
+    axis of the reconstruction deliverable. Default-path only (ignored
+    when vol_fn is supplied).
     """
     if n % block:
         raise ValueError(f"n={n} must be divisible by block={block}")
@@ -240,7 +249,8 @@ def extract_mesh_giga(
     nxb = slab // block + 1  # +1: the shared plane lives in the next row
     plan = _slab_plan(n, slab)
 
-    if vol_fn is None:
+    internal_eval = vol_fn is None
+    if internal_eval:
         if not isinstance(model, ImplicitNet):
             raise ValueError(
                 "default slab evaluator requires an ImplicitNet; pass "
@@ -272,9 +282,17 @@ def extract_mesh_giga(
             k_need = max(k_need, int(sel.sum()))
         k_max = max(tile_blocks, -(-k_need // tile_blocks) * tile_blocks)
 
-        def vol_fn(x0, sx):
+        if devices is not None:
+            repl = [
+                jax.device_put((params, coarse, mask), d) for d in devices
+            ]
+        else:
+            repl = [(params, coarse, mask)]
+
+        def vol_fn(x0, sx, di=0):
+            p_d, coarse_d, mask_d = repl[di % len(repl)]
             vol, _ = _refine_slab(
-                model, params, coarse, mask, jnp.int32(x0 // block), n,
+                model, p_d, coarse_d, mask_d, jnp.int32(x0 // block), n,
                 block, k_max, nxb, tile_blocks, compute_dtype, interpret,
                 mxu_precision,
             )
@@ -282,31 +300,41 @@ def extract_mesh_giga(
 
     march = (marching_tets_device_packed if wire == "packed"
              else marching_tets_device)
+    n_dev = len(devices) if (internal_eval and devices is not None) else 1
 
     def _vol(i):
-        vol_slab = vol_fn(*plan[i])
+        if internal_eval:
+            vol_slab = vol_fn(*plan[i], di=i)
+        else:
+            vol_slab = vol_fn(*plan[i])
         if not isinstance(vol_slab, jnp.ndarray):
             vol_slab = jnp.asarray(np.asarray(vol_slab, dtype=np.float32))
         return vol_slab
 
+    # prefetch pipeline: dispatch up to `depth` slab evaluations ahead of
+    # the march fetch/decode of the current one — the device(s) fill with
+    # later slabs while the host does this slab's D2H + topology rebuild
+    # (the fetch, not compute, dominates on slow links). With multiple
+    # devices, depth = device count: each device computes its own slabs
+    # concurrently; results are drained in slab order. Drained entries are
+    # released so at most `depth` slab volumes are resident.
+    depth = max(1, n_dev)
+    pending = {i: _vol(i) for i in range(min(depth, len(plan)))}
     slots_all, t_all, faces_all = [], [], []
     v_off = 0
-    vol_slab = _vol(0)
     for i, (x0, sx) in enumerate(plan):
-        # prefetch: dispatch the NEXT slab's evaluation before this slab's
-        # march results are fetched/decoded — the device fills with slab
-        # i+1 while the host does slab i's D2H + topology rebuild (the
-        # fetch, not compute, dominates on slow links)
-        next_vol = _vol(i + 1) if i + 1 < len(plan) else None
+        vol_slab = pending.pop(i)
+        if i + depth < len(plan):
+            pending[i + depth] = _vol(i + depth)
         out = march(vol_slab, level)
         vslots, t, faces = out[0], out[1], out[2]
+        del vol_slab
         slots_all.append(
             np.asarray(vslots, np.int64) + np.int64(x0) * n * n * _SLOT_DIRS
         )
         t_all.append(np.asarray(t, np.float64))
         faces_all.append(np.asarray(faces, np.int64) + v_off)
         v_off += len(vslots)
-        vol_slab = next_vol
 
     if v_off == 0:
         return np.zeros((0, 3)), np.zeros((0, 3), dtype=np.int64)

@@ -127,6 +127,29 @@ def test_giga_sparse_refine_matches_full_sparse_eval():
     _assert_same_mesh(giga, ref)
 
 
+def test_giga_multi_device_round_robin_identical():
+    """Slabs round-robined over several devices (weights replicated, each
+    device refining + marching its own slabs) must merge to the identical
+    mesh — device placement is a throughput knob, never a result change.
+    Runs on the virtual 8-CPU mesh (conftest)."""
+    devs = jax.devices()
+    if len(devs) < 3:
+        pytest.skip("needs >=3 virtual devices")
+    model, params = _model_and_params()
+    n = 32
+    ref = extract_mesh_giga(
+        model, params, n, slab=8, wire="exact",
+        compute_dtype=jnp.float32, interpret=True, on_violation="error",
+    )
+    multi = extract_mesh_giga(
+        model, params, n, slab=8, wire="exact",
+        compute_dtype=jnp.float32, interpret=True, on_violation="error",
+        devices=devs[:3],
+    )
+    assert len(ref[1]) > 50
+    _assert_same_mesh(multi, ref)
+
+
 def test_giga_certificate_detects_lipschitz_violation():
     from tests.test_sparse_grid import _steep_plane_params
 
