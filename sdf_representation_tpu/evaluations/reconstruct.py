@@ -53,10 +53,12 @@ def reconstruct_mesh(
         # identical mesh, bounded device memory
         from ..ops.giga_extract import extract_mesh_giga
 
+        devs = jax.devices()
         verts, faces = extract_mesh_giga(
             model, params, cubesize, level=level, wire="packed",
             on_violation="dense",
-            interpret=jax.devices()[0].platform == "cpu",
+            interpret=devs[0].platform == "cpu",
+            devices=devs if len(devs) > 1 else None,
         )
         return Mesh(verts, faces)
     if isinstance(model, HashMLP):
