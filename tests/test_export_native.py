@@ -298,3 +298,55 @@ def test_deeptrace_onnx_relu_tanh_mode(tmp_path, native_build):
     # spot-check interpreter values against JAX at the leaf centers
     ref = np.asarray(model.apply(params, pts[:, :3].astype(np.float32)))
     np.testing.assert_allclose(pts[:, 3], ref, rtol=1e-4, atol=1e-5)
+
+
+def test_c_abi_shared_library(tmp_path, model_and_params, native_build):
+    """libsdfnet_c.so: the C ABI embedding surface (the reference's
+    LibTorch-linking consumer role, reference ops/conversion_test/main.cpp)
+    loads BOTH model formats through ctypes and matches JAX to f32 eps."""
+    import ctypes
+
+    lib_path = os.path.join(native_build, "libsdfnet_c.so")
+    if not os.path.exists(lib_path):
+        pytest.skip("shared library not built")
+    lib = ctypes.CDLL(lib_path)
+    lib.sdfnet_load.restype = ctypes.c_void_p
+    lib.sdfnet_load.argtypes = [ctypes.c_char_p]
+    lib.sdfnet_last_error.restype = ctypes.c_char_p
+    lib.sdfnet_d_in.argtypes = [ctypes.c_void_p]
+    lib.sdfnet_evaluate.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int,
+    ]
+    lib.sdfnet_free.argtypes = [ctypes.c_void_p]
+
+    model, params = model_and_params
+    out = str(tmp_path)
+    save_for_native(out, model, params, onnx=True)
+
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-1, 1, (257, 3)).astype(np.float32)
+    ref = np.asarray(model.apply(params, pts))
+    gfun = jax.vmap(jax.grad(lambda x: model.apply(params, x[None])[0]))
+    ref_g = np.asarray(gfun(pts))
+
+    fptr = ctypes.POINTER(ctypes.c_float)
+    for name in ("model.sdfw", "model.onnx"):
+        h = lib.sdfnet_load(os.path.join(out, name).encode())
+        assert h, lib.sdfnet_last_error().decode()
+        assert lib.sdfnet_d_in(h) == 3
+        vals = np.empty(len(pts), np.float32)
+        grads = np.empty((len(pts), 3), np.float32)
+        rc = lib.sdfnet_evaluate(
+            h, pts.ctypes.data_as(fptr), len(pts),
+            vals.ctypes.data_as(fptr), grads.ctypes.data_as(fptr), 2,
+        )
+        assert rc == 0, lib.sdfnet_last_error().decode()
+        np.testing.assert_allclose(vals, ref, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(grads, ref_g, rtol=1e-3, atol=1e-4)
+        lib.sdfnet_free(h)
+
+    # error path: missing file -> NULL handle + message
+    assert not lib.sdfnet_load(b"/nonexistent/x.sdfw")
+    assert b"cannot open" in lib.sdfnet_last_error()
