@@ -350,3 +350,28 @@ def test_c_abi_shared_library(tmp_path, model_and_params, native_build):
     # error path: missing file -> NULL handle + message
     assert not lib.sdfnet_load(b"/nonexistent/x.sdfw")
     assert b"cannot open" in lib.sdfnet_last_error()
+
+
+def test_native_runtime_python_wrapper(tmp_path, model_and_params,
+                                       native_build):
+    """export.NativeSDF: the zero-build-step Python consumer of the C ABI."""
+    from sdf_representation_tpu.export import NativeSDF
+
+    lib_path = os.path.join(native_build, "libsdfnet_c.so")
+    model, params = model_and_params
+    out = str(tmp_path)
+    save_for_native(out, model, params, onnx=False)
+    rng = np.random.default_rng(5)
+    pts = rng.uniform(-1, 1, (100, 3)).astype(np.float32)
+    ref = np.asarray(model.apply(params, pts))
+    with NativeSDF(os.path.join(out, "model.sdfw"),
+                   lib_path=lib_path) as net:
+        assert net.d_in == 3
+        vals, grads = net.evaluate(pts, gradients=True)
+        np.testing.assert_allclose(vals, ref, rtol=1e-4, atol=1e-5)
+        assert grads.shape == (100, 3)
+        np.testing.assert_allclose(net(pts), vals)
+        with pytest.raises(ValueError, match="expected"):
+            net.evaluate(pts[:, :2])
+    with pytest.raises(FileNotFoundError, match="not built"):
+        NativeSDF("x.sdfw", lib_path="/nonexistent/lib.so")
