@@ -243,6 +243,8 @@ def extract_mesh_giga(
         )
     if on_violation not in ("dense", "error", "warn"):
         raise ValueError(f"on_violation={on_violation!r}")
+    if devices is not None and len(devices) == 0:
+        devices = None
 
     nb = n // block
     nb2 = nb * nb
@@ -326,7 +328,28 @@ def extract_mesh_giga(
         vol_slab = pending.pop(i)
         if i + depth < len(plan):
             pending[i + depth] = _vol(i + depth)
-        out = march(vol_slab, level)
+        try:
+            out = march(vol_slab, level)
+        except ValueError as exc:
+            if "packed core-word budget" not in str(exc) or slab <= block:
+                raise
+            # a single slab overflowed the per-dispatch 2^24-vertex cap
+            # (pathologically dense surface): halve the slabs and redo —
+            # budgets/compiles for the smaller shape are fresh but the
+            # result is identical (seam merging is slab-size-agnostic)
+            half = max(block, (slab // 2) // block * block)
+            print(f"[giga_extract] slab of {sx} planes overflowed the "
+                  f"2^24-vertex dispatch cap; retrying with slab={half}",
+                  flush=True)
+            return extract_mesh_giga(
+                model, params, n, level=level, slab=half, block=block,
+                safety=safety, eps=eps, tile_blocks=tile_blocks,
+                compute_dtype=compute_dtype, interpret=interpret,
+                mxu_precision=mxu_precision, wire=wire,
+                on_violation=on_violation,
+                vol_fn=None if internal_eval else vol_fn,
+                spacing=spacing, origin=origin, devices=devices,
+            )
         vslots, t, faces = out[0], out[1], out[2]
         del vol_slab
         slots_all.append(

@@ -216,6 +216,35 @@ def test_giga_seam_fuzz_random_fields():
         _assert_same_mesh(giga, ref)
 
 
+def test_giga_vertex_cap_overflow_retries_with_halved_slabs(monkeypatch,
+                                                            capsys):
+    """A slab overflowing the per-dispatch 2^24-vertex cap triggers an
+    automatic retry at half the slab size (result identical)."""
+    from sdf_representation_tpu.ops import giga_extract as ge
+
+    model, params = _model_and_params()
+    n = 40
+    vol = _dense_volume(model, params, n)
+    s = 2.0 / (n - 1)
+    ref = marching_cubes_device(jnp.asarray(vol), 0.0, (s,) * 3,
+                                (-1.0,) * 3, wire="exact")
+
+    real = ge.marching_tets_device
+
+    def fussy(v, level=0.0):
+        if v.shape[0] > 9:  # pretend big slabs overflow the packed word
+            raise ValueError("vertices overflow the packed core-word budget")
+        return real(v, level)
+
+    monkeypatch.setattr(ge, "marching_tets_device", fussy)
+    giga = ge.extract_mesh_giga(
+        None, None, n, slab=16, wire="exact",
+        vol_fn=lambda x0, sx: jnp.asarray(vol[x0:x0 + sx]),
+    )
+    assert "retrying with slab=8" in capsys.readouterr().out
+    _assert_same_mesh(giga, ref)
+
+
 def test_giga_empty_level_set():
     model, params = _model_and_params()
     verts, faces = extract_mesh_giga(
