@@ -44,7 +44,7 @@ def reconstruct_mesh(
     from ..models.implicit_net import ImplicitNet
 
     if (
-        isinstance(model, ImplicitNet)
+        isinstance(model, (ImplicitNet, HashMLP))
         and cubesize % 8 == 0
         and cubesize**3 * 7 >= 2**31
     ):

@@ -213,10 +213,12 @@ def extract_mesh_giga(
 
     vol_fn(x0, sx) -> (sx, n, n) field values on planes [x0, x0+sx) may be
     supplied to extract from any field (tests use dense slices); by default
-    it is built from the hierarchical sparse evaluator: one global coarse
-    sweep + certificate, then per-slab Pallas refinement of active blocks
-    (a single compiled dispatch reused by every slab — the slab offset is a
-    traced scalar).
+    it is built per model family: ImplicitNet -> the hierarchical sparse
+    evaluator (one global coarse sweep + certificate, then per-slab Pallas
+    refinement of active blocks; a single compiled dispatch reused by every
+    slab — the slab offset is a traced scalar); HashMLP -> the separable
+    banded-matmul x-slab evaluator (ops/hash_grid_eval, exact dense values,
+    no certificate involved).
 
     on_violation: response to a sparse-selection certificate violation
     (see ops/sparse_grid.sparse_grid_eval): "error" (default — there is no
@@ -252,11 +254,33 @@ def extract_mesh_giga(
     plan = _slab_plan(n, slab)
 
     internal_eval = vol_fn is None
-    if internal_eval:
+    from ..models.hash_mlp import HashMLP
+
+    if internal_eval and isinstance(model, HashMLP):
+        # HashMLP: dense separable x-slab evaluation (ops/hash_grid_eval) —
+        # exact dense values, so no activity selection or certificate is
+        # involved; devices round-robin the slabs like the sparse path
+        from .hash_grid_eval import hash_grid_eval_x_slab
+
+        if devices is not None:
+            repl = [jax.device_put(params, d) for d in devices]
+        else:
+            repl = [params]
+
+        def vol_fn(x0, sx, di=0):
+            return hash_grid_eval_x_slab(
+                model, repl[di % len(repl)], x0, sx, n,
+                compute_dtype=jnp.float32,
+            )
+
+        internal_eval_hash = True
+    else:
+        internal_eval_hash = False
+    if internal_eval and not internal_eval_hash:
         if not isinstance(model, ImplicitNet):
             raise ValueError(
-                "default slab evaluator requires an ImplicitNet; pass "
-                "vol_fn for other fields"
+                "default slab evaluator requires an ImplicitNet or "
+                "HashMLP; pass vol_fn for other fields"
             )
         coarse, mask, viol = _coarse_field(
             model, params, n, block, float(safety), float(eps)

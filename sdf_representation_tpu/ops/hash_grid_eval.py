@@ -107,6 +107,70 @@ def _hash_grid_slab(model, params, z0, n, slab_d, compute_dtype):
     return h[..., 0].reshape(n, n, slab_d)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("model", "n", "sub", "compute_dtype")
+)
+def _hash_grid_xsub(model, params, x0, n, sub, compute_dtype):
+    """Evaluate the (sub, n, n) x-slab starting at plane x0 (dynamic scalar:
+    one compilation serves every slab). The slab axis contracts FIRST so the
+    per-level intermediates stay (sub, n, R, F)-sized — this is the giga-
+    extraction (ops/giga_extract) evaluator for HashMLP fields. Each output
+    plane's value is a row-independent contraction, so a plane shared by two
+    slabs evaluates BITWISE equally in both (seam-exactness; tested)."""
+    feats = []
+    for l, table in enumerate(params["tables"]):
+        res = model.level_resolution(l)
+        V = _level_volume(model, table, res).astype(compute_dtype)
+        W = _axis_weights(n, res).astype(compute_dtype)
+        Wx = jax.lax.dynamic_slice(W, (x0, 0), (sub, W.shape[1]))
+        t = jnp.einsum("ia,abcf->ibcf", Wx, V)   # (sub, R, R, F)
+        t = jnp.einsum("jb,ibcf->ijcf", W, t)    # (sub, n, R, F)
+        t = jnp.einsum("kc,ijcf->ijkf", W, t)    # (sub, n, n, F)
+        feats.append(t.astype(jnp.float32))
+    if model.include_xyz:
+        step = jnp.float32(2.0 / (n - 1))
+        ax = -1.0 + step * jnp.arange(n, dtype=jnp.float32)
+        axs = -1.0 + step * (x0 + jnp.arange(sub, dtype=jnp.float32))
+        xx = jnp.broadcast_to(axs[:, None, None, None], (sub, n, n, 1))
+        yy = jnp.broadcast_to(ax[None, :, None, None], (sub, n, n, 1))
+        zz = jnp.broadcast_to(ax[None, None, :, None], (sub, n, n, 1))
+        feats += [xx, yy, zz]
+    h = jnp.concatenate(feats, axis=-1).reshape(sub * n * n, -1)
+    for i, layer in enumerate(params["mlp"]):
+        h = h @ layer["w"] + layer["b"]
+        if i < len(params["mlp"]) - 1:
+            h = jax.nn.relu(h)
+    return h[..., 0].reshape(sub, n, n)
+
+
+def hash_grid_eval_x_slab(
+    model: HashMLP,
+    params,
+    x0: int,
+    sx: int,
+    n: int,
+    sub: int = 8,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """(sx, n, n) field values on planes [x0, x0+sx) — sub-slab stitched,
+    one compilation total. Planes past the grid edge are never requested
+    by callers; the final sub-slab backs up so every dispatch stays in
+    range (overlapping rows are recomputed, bitwise equal)."""
+    sub = min(sub, sx)
+    starts = list(range(x0, x0 + sx - sub + 1, sub))
+    if starts[-1] + sub < x0 + sx:
+        starts.append(x0 + sx - sub)
+    parts = [
+        _hash_grid_xsub(model, params, s, n, sub, compute_dtype)
+        for s in starts
+    ]
+    keep = [parts[0]]
+    for prev_s, s, p in zip(starts, starts[1:], parts[1:]):
+        overlap = prev_s + sub - s
+        keep.append(p[overlap:] if overlap > 0 else p)
+    return keep[0] if len(keep) == 1 else jnp.concatenate(keep, axis=0)
+
+
 def hash_grid_eval(
     model: HashMLP,
     params,

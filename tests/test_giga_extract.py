@@ -127,6 +127,48 @@ def test_giga_sparse_refine_matches_full_sparse_eval():
     _assert_same_mesh(giga, ref)
 
 
+def test_giga_hash_mlp_separable_slabs():
+    """HashMLP fields route to the separable x-slab evaluator: the slab-
+    merged mesh equals marching the full separable volume, and planes
+    shared by adjacent slab dispatches are BITWISE equal (row-independent
+    contractions — the seam-exactness precondition)."""
+    from sdf_representation_tpu.models.hash_mlp import HashMLP
+    from sdf_representation_tpu.ops.hash_grid_eval import (
+        hash_grid_eval,
+        hash_grid_eval_x_slab,
+    )
+
+    model = HashMLP(n_levels=4, log2_table_size=9, base_resolution=4,
+                    max_resolution=32)
+    params = model.init(jax.random.PRNGKey(2))
+    # make the field cross zero: bias the head so ~half the box is inside
+    probe = jax.random.uniform(jax.random.PRNGKey(3), (4096, 3),
+                               minval=-1.0, maxval=1.0)
+    med = float(jnp.median(model.apply(params, probe)))
+    params["mlp"][-1]["b"] = params["mlp"][-1]["b"] - med
+
+    n = 32
+    # single-shot baseline from the SAME evaluator (the z-slab evaluator
+    # contracts axes in a different order -> last-ulp differences are
+    # legitimate; cross-checked with tolerance below)
+    vol = hash_grid_eval_x_slab(model, params, 0, n, n, sub=8)
+    np.testing.assert_allclose(np.asarray(vol),
+                               np.asarray(hash_grid_eval(model, params, n)),
+                               rtol=1e-5, atol=1e-6)
+    s = 2.0 / (n - 1)
+    ref = marching_cubes_device(vol, 0.0, (s,) * 3, (-1.0,) * 3,
+                                wire="exact")
+    assert len(ref[1]) > 50
+
+    # bitwise seam check across independent dispatches
+    a = np.asarray(hash_grid_eval_x_slab(model, params, 0, 17, n, sub=8))
+    b = np.asarray(hash_grid_eval_x_slab(model, params, 16, 16, n, sub=8))
+    np.testing.assert_array_equal(a[16], b[0])
+
+    giga = extract_mesh_giga(model, params, n, slab=16, wire="exact")
+    _assert_same_mesh(giga, ref)
+
+
 def test_giga_multi_device_round_robin_identical():
     """Slabs round-robined over several devices (weights replicated, each
     device refining + marching its own slabs) must merge to the identical
