@@ -23,9 +23,21 @@ from sdf_representation_tpu.ops.giga_extract import (
 )
 
 n = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
-model = ImplicitNet(d_in=3, hidden_dims=(512,) * 8, skip_in=(4,),
-                    beta=100.0, radius_init=0.75)
-params = model.init(jr.PRNGKey(0))
+if "hash" in sys.argv[2:]:
+    from sdf_representation_tpu.models.hash_mlp import HashMLP
+
+    model = HashMLP()
+    params = model.init(jr.PRNGKey(0))
+    # bias the head so the level set is non-trivial on a random init
+    import jax.numpy as jnp
+
+    probe = jr.uniform(jr.PRNGKey(1), (8192, 3), minval=-1.0, maxval=1.0)
+    med = float(jnp.median(model.apply(params, probe)))
+    params["mlp"][-1]["b"] = params["mlp"][-1]["b"] - med
+else:
+    model = ImplicitNet(d_in=3, hidden_dims=(512,) * 8, skip_in=(4,),
+                        beta=100.0, radius_init=0.75)
+    params = model.init(jr.PRNGKey(0))
 params = jax.device_put(params)
 jax.block_until_ready(params)
 slab = default_slab(n)
