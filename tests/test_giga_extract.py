@@ -168,6 +168,11 @@ def test_giga_hash_mlp_separable_slabs():
     giga = extract_mesh_giga(model, params, n, slab=16, wire="exact")
     _assert_same_mesh(giga, ref)
 
+    if len(jax.devices()) >= 2:  # multi-device round-robin, same mesh
+        multi = extract_mesh_giga(model, params, n, slab=8, wire="exact",
+                                  devices=jax.devices()[:2])
+        _assert_same_mesh(multi, ref)
+
 
 def test_giga_multi_device_round_robin_identical():
     """Slabs round-robined over several devices (weights replicated, each
