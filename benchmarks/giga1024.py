@@ -22,15 +22,16 @@ from sdf_representation_tpu.ops.giga_extract import (
     extract_mesh_giga,
 )
 
-n = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
-if "hash" in sys.argv[2:]:
+args = sys.argv[1:]
+hash_mode = "hash" in args
+nums = [a for a in args if a.isdigit()]
+n = int(nums[0]) if nums else 1024
+if hash_mode:
     from sdf_representation_tpu.models.hash_mlp import HashMLP
 
     model = HashMLP()
     params = model.init(jr.PRNGKey(0))
     # bias the head so the level set is non-trivial on a random init
-    import jax.numpy as jnp
-
     probe = jr.uniform(jr.PRNGKey(1), (8192, 3), minval=-1.0, maxval=1.0)
     med = float(jnp.median(model.apply(params, probe)))
     params["mlp"][-1]["b"] = params["mlp"][-1]["b"] - med

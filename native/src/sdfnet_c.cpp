@@ -17,6 +17,7 @@
 
 #include <cstddef>
 #include <cstring>
+#include <memory>
 #include <string>
 
 #include "onnx_net.hpp"
@@ -46,7 +47,7 @@ const char* sdfnet_last_error() { return g_err.c_str(); }
 void* sdfnet_load(const char* path) {
   g_err.clear();
   try {
-    auto* h = new Handle;
+    std::unique_ptr<Handle> h(new Handle);
     std::string p(path ? path : "");
     if (ends_with(p, ".onnx")) {
       h->is_onnx = true;
@@ -54,7 +55,7 @@ void* sdfnet_load(const char* path) {
     } else {
       h->net = sdfnet::ImplicitNet::load(p);
     }
-    return h;
+    return h.release();
   } catch (const std::exception& e) {
     g_err = e.what();
     return nullptr;

@@ -43,21 +43,24 @@ def reconstruct_mesh(
     from ..models.hash_mlp import HashMLP
     from ..models.implicit_net import ImplicitNet
 
-    if (
-        isinstance(model, (ImplicitNet, HashMLP))
-        and cubesize % 8 == 0
-        and cubesize**3 * 7 >= 2**31
-    ):
-        # past the single-dispatch extractor's int32 slot space (~645^3):
-        # slab-streamed eval + marching, merged on host (ops/giga_extract) —
-        # identical mesh, bounded device memory
+    devs = jax.devices()
+    # past the single-dispatch extractor's int32 slot space (~645^3):
+    # slab-streamed eval + marching, merged on host (ops/giga_extract) —
+    # identical mesh, bounded device memory. The ImplicitNet evaluator is
+    # the Pallas refinement kernel, so it honors the use_pallas opt-out
+    # and stays off CPU backends (interpret mode is ~100x — the dense host
+    # path below still works there); the HashMLP evaluator is plain XLA.
+    giga_ok = (
+        isinstance(model, HashMLP)
+        or (isinstance(model, ImplicitNet) and use_pallas
+            and devs[0].platform != "cpu")
+    )
+    if cubesize % 8 == 0 and cubesize**3 * 7 >= 2**31 and giga_ok:
         from ..ops.giga_extract import extract_mesh_giga
 
-        devs = jax.devices()
         verts, faces = extract_mesh_giga(
             model, params, cubesize, level=level, wire="packed",
             on_violation="dense",
-            interpret=devs[0].platform == "cpu",
             devices=devs if len(devs) > 1 else None,
         )
         return Mesh(verts, faces)

@@ -41,52 +41,22 @@ from .marching_device import (
     marching_tets_device,
     marching_tets_device_packed,
 )
-from .pallas_mlp import prepare_fused_weights
-from .sparse_grid import _make_block_kernel, active_threshold
+from .sparse_grid import coarse_and_certificate, refine_blocks
 
 _SLOT_DIRS = 7  # edge directions per lattice point in the tet decomposition
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "n", "block", "safety", "eps"),
+    static_argnames=("model", "n", "block", "safety", "eps", "level"),
 )
-def _coarse_field(model, params, n, block, safety, eps):
-    """Global coarse sweep + activity mask + exactness certificate.
-
-    Same selection rule and certificate as ops/sparse_grid.py (docstring
-    there); run ONCE for the whole grid, shared by every slab."""
-    nb = n // block
-    nb3 = nb * nb * nb
-    s = 2.0 / (n - 1)
-    tau = active_threshold(n, block, safety, eps)
-    flat = jnp.arange(nb3, dtype=jnp.int32)
-    cz = flat % nb
-    cy = (flat // nb) % nb
-    cx = flat // (nb * nb)
-    half = (block - 1) / 2.0
-    centers = jnp.stack(
-        [
-            -1.0 + s * (cx.astype(jnp.float32) * block + half),
-            -1.0 + s * (cy.astype(jnp.float32) * block + half),
-            -1.0 + s * (cz.astype(jnp.float32) * block + half),
-        ],
-        axis=-1,
-    )
-    coarse = model.apply(params, centers).astype(jnp.float32)
-    mask = jnp.abs(coarse) <= tau
-
-    c3 = (coarse <= 0.0).reshape(nb, nb, nb)
-    i3 = jnp.logical_not(mask).reshape(nb, nb, nb)
-    viol = jnp.int32(0)
-    for ax in range(3):
-        lo = [slice(None)] * 3
-        hi = [slice(None)] * 3
-        lo[ax] = slice(None, -1)
-        hi[ax] = slice(1, None)
-        bad = (c3[tuple(lo)] != c3[tuple(hi)]) & i3[tuple(lo)] & i3[tuple(hi)]
-        viol = viol + jnp.sum(bad.astype(jnp.int32))
-    return coarse, mask, viol
+def _coarse_field(model, params, n, block, safety, eps, level):
+    """Global coarse sweep + activity mask + exactness certificate around
+    the ``level`` set — exactly ops/sparse_grid.coarse_and_certificate
+    (ONE copy of the selection rule), run ONCE for the whole grid and
+    shared by every slab."""
+    return coarse_and_certificate(model, params, n, block, safety, eps,
+                                  level)
 
 
 @functools.partial(
@@ -100,12 +70,13 @@ def _refine_slab(
 ):
     """Refine the active blocks of block-rows [xb0, xb0+nxb) and assemble
     the (nxb*block, n, n) slab volume. xb0 is a TRACED scalar: one compile
-    serves every slab."""
+    serves every slab. The refinement is ops/sparse_grid.refine_blocks —
+    same kernel, same global block ids, hence bitwise-equal values for a
+    block whichever slab evaluates it (the seam-exactness precondition)."""
     nb = n // block
     nb3 = nb * nb * nb
     nb2 = nb * nb
     pts = block * block * block
-    s = 2.0 / (n - 1)
 
     flat = jnp.arange(nb3, dtype=jnp.int32)
     bx = flat // nb2
@@ -115,35 +86,10 @@ def _refine_slab(
     (ids,) = jnp.nonzero(m, size=k_max, fill_value=0)
     ids = ids.astype(jnp.int32)
 
-    weights, spec, _ = prepare_fused_weights(model, params, compute_dtype)
-    tile_p = tile_blocks * pts
-    n_tiles = k_max // tile_blocks
-    kernel = _make_block_kernel(
-        spec, model.beta, nb, block, s, tile_blocks, k_max, compute_dtype,
-        mxu_precision,
+    vals = refine_blocks(
+        model, params, ids, count, n, block, k_max, tile_blocks,
+        compute_dtype, interpret, mxu_precision,
     )
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(w.shape, lambda i, ids_ref, nd=w.ndim: (0,) * nd,
-                         memory_space=pltpu.VMEM)
-            for w in weights
-        ],
-        out_specs=pl.BlockSpec((8, tile_p // 8), lambda i, ids_ref: (i, 0),
-                               memory_space=pltpu.VMEM),
-    )
-    fine = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles * 8, tile_p // 8),
-                                       jnp.float32),
-        interpret=interpret,
-    )(jnp.concatenate([ids, count[None].astype(jnp.int32)]), *weights)
-    vals = fine.reshape(k_max, pts)
 
     # slab-local assembly: coarse fill (padded past the right grid edge so
     # the dynamic_slice stays in bounds; pad rows are never sliced into the
@@ -218,7 +164,8 @@ def extract_mesh_giga(
     refinement of active blocks; a single compiled dispatch reused by every
     slab — the slab offset is a traced scalar); HashMLP -> the separable
     banded-matmul x-slab evaluator (ops/hash_grid_eval, exact dense values,
-    no certificate involved).
+    no certificate involved; always f32 — ``compute_dtype`` governs only
+    the ImplicitNet refinement kernel).
 
     on_violation: response to a sparse-selection certificate violation
     (see ops/sparse_grid.sparse_grid_eval): "error" (default — there is no
@@ -268,6 +215,9 @@ def extract_mesh_giga(
             repl = [params]
 
         def vol_fn(x0, sx, di=0):
+            # always f32: hash tables ARE f32 by design (bf16 measurably
+            # hurts — models/hash_mlp.py) and ``compute_dtype`` governs
+            # only the ImplicitNet refinement kernel (see docstring)
             return hash_grid_eval_x_slab(
                 model, repl[di % len(repl)], x0, sx, n,
                 compute_dtype=jnp.float32,
@@ -283,7 +233,8 @@ def extract_mesh_giga(
                 "HashMLP; pass vol_fn for other fields"
             )
         coarse, mask, viol = _coarse_field(
-            model, params, n, block, float(safety), float(eps)
+            model, params, n, block, float(safety), float(eps),
+            float(level),
         )
         if int(viol) > 0:
             msg = (

@@ -105,22 +105,27 @@ def _make_block_kernel(spec, beta, nb, block, step, tile_blocks, k_max,
     return kernel
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("model", "n", "block", "k_max", "tile_blocks", "safety",
-                     "eps", "compute_dtype", "interpret", "mxu_precision"),
-)
-def _sparse_grid_device(
-    model, params, n, block, k_max, tile_blocks, safety, eps, compute_dtype,
-    interpret, mxu_precision,
-):
+def coarse_and_certificate(model, params, n, block, safety, eps,
+                           level=0.0):
+    """Coarse center sweep + activity mask + exactness certificate around
+    the ``level`` set (traced helper shared by the full sparse evaluator
+    here and the slab-streamed giga extractor, ops/giga_extract.py — ONE
+    copy of the selection rule).
+
+    Certificate: no pair of adjacent INACTIVE blocks may disagree in
+    center side-of-level — that would prove a crossing between two centers
+    the selection skipped (the segment between adjacent centers only
+    passes through those two blocks). For a field of local Lipschitz L the
+    pair violates |c_a - c_b| > 2*tau only when L > safety*sqrt(3)*
+    (block+1)/block (~1.95*safety), so fields within the assumed bound can
+    NEVER trip it: zero false positives by construction, and it fires
+    exactly when the safety assumption materially failed (e.g. Siren-sharp
+    fields). Cost: three shifted compares over the (nb, nb, nb) coarse
+    grid — noise next to the refinement pass."""
     nb = n // block
     nb3 = nb * nb * nb
-    pts = block * block * block
     s = 2.0 / (n - 1)
     tau = active_threshold(n, block, safety, eps)
-
-    # --- coarse sweep: f32 XLA eval at block centers (nb3 points) ---
     flat = jnp.arange(nb3, dtype=jnp.int32)
     cz = flat % nb
     cy = (flat // nb) % nb
@@ -135,24 +140,9 @@ def _sparse_grid_device(
         axis=-1,
     )
     coarse = model.apply(params, centers).astype(jnp.float32)  # (nb3,)
+    mask = jnp.abs(coarse - level) <= tau
 
-    # --- selection (static k_max keeps the dispatch single-compilation) ---
-    mask = jnp.abs(coarse) <= tau
-    count = jnp.sum(mask.astype(jnp.int32))
-    (ids,) = jnp.nonzero(mask, size=k_max, fill_value=0)
-    ids = ids.astype(jnp.int32)
-
-    # --- certificate: no pair of adjacent INACTIVE blocks may disagree in
-    # center sign — that would prove a zero crossing between two centers the
-    # selection skipped (the segment between adjacent centers only passes
-    # through those two blocks). For a field of local Lipschitz L the pair
-    # violates |c_a - c_b| > 2*tau only when L > safety*sqrt(3)*(block+1)/
-    # block (~1.95*safety), so fields within the assumed bound can NEVER
-    # trip it: zero false positives by construction, and it fires exactly
-    # when the safety assumption materially failed (e.g. Siren-sharp
-    # fields). Cost: three shifted compares over the (nb, nb, nb) coarse
-    # grid — noise next to the refinement pass.
-    c3 = (coarse <= 0.0).reshape(nb, nb, nb)
+    c3 = (coarse <= level).reshape(nb, nb, nb)
     i3 = jnp.logical_not(mask).reshape(nb, nb, nb)
     viol = jnp.int32(0)
     for ax in range(3):
@@ -166,8 +156,17 @@ def _sparse_grid_device(
             & i3[tuple(hi)]
         )
         viol = viol + jnp.sum(bad.astype(jnp.int32))
+    return coarse, mask, viol
 
-    # --- Pallas refinement over active blocks ---
+
+def refine_blocks(model, params, ids, count, n, block, k_max, tile_blocks,
+                  compute_dtype, interpret, mxu_precision):
+    """Pallas refinement of ``count`` active blocks (global flat ids) —
+    (k_max, block^3) fine values; rows past the live count are skipped.
+    Traced helper shared with ops/giga_extract.py."""
+    nb = n // block
+    pts = block * block * block
+    s = 2.0 / (n - 1)
     weights, spec, _ = prepare_fused_weights(model, params, compute_dtype)
     tile_p = tile_blocks * pts
     n_tiles = k_max // tile_blocks
@@ -189,10 +188,39 @@ def _sparse_grid_device(
     fine = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles * 8, tile_p // 8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * 8, tile_p // 8),
+                                       jnp.float32),
         interpret=interpret,
     )(jnp.concatenate([ids, count[None].astype(jnp.int32)]), *weights)
-    vals = fine.reshape(k_max, pts)
+    return fine.reshape(k_max, pts)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "n", "block", "k_max", "tile_blocks", "safety",
+                     "eps", "level", "compute_dtype", "interpret",
+                     "mxu_precision"),
+)
+def _sparse_grid_device(
+    model, params, n, block, k_max, tile_blocks, safety, eps, level,
+    compute_dtype, interpret, mxu_precision,
+):
+    nb = n // block
+    nb3 = nb * nb * nb
+    pts = block * block * block
+
+    coarse, mask, viol = coarse_and_certificate(
+        model, params, n, block, safety, eps, level
+    )
+    # --- selection (static k_max keeps the dispatch single-compilation) ---
+    count = jnp.sum(mask.astype(jnp.int32))
+    (ids,) = jnp.nonzero(mask, size=k_max, fill_value=0)
+    ids = ids.astype(jnp.int32)
+
+    vals = refine_blocks(
+        model, params, ids, count, n, block, k_max, tile_blocks,
+        compute_dtype, interpret, mxu_precision,
+    )
 
     # --- assemble: coarse fill (correct sign everywhere off-shell) + scatter
     # (rows past the live count were skipped by the kernel: route their
@@ -223,8 +251,13 @@ def sparse_grid_eval(
     mxu_precision: str = "default",
     return_count: bool = False,
     on_violation: str = "dense",
+    level: float = 0.0,
 ):
     """Sparse hierarchical SDF evaluation of the dense n^3 grid.
+
+    ``level``: the iso-level the caller will extract — selection and the
+    certificate track the f=level shell (the fill is exact only on blocks
+    near THAT level; default 0, the SDF surface).
 
     Returns an (n, n, n) float32 device array that agrees with
     ``fused_grid_eval`` bitwise on every active (near-surface) block and
@@ -264,7 +297,7 @@ def sparse_grid_eval(
     # (~0.6 s at 512^3), and thanks to the in-kernel early exit an oversized
     # budget costs nothing but scatter rows
     cache_key = (model, n, block, tile_blocks, float(safety), float(eps),
-                 str(compute_dtype), mxu_precision)
+                 float(level), str(compute_dtype), mxu_precision)
     k_max = _KMAX_CACHE.get(
         cache_key, max(tile_blocks, int(nb3 * k_max_frac))
     )
@@ -273,7 +306,8 @@ def sparse_grid_eval(
     while True:
         vol, count, viol = _sparse_grid_device(
             model, params, n, block, k_max, tile_blocks, float(safety),
-            float(eps), compute_dtype, interpret, mxu_precision,
+            float(eps), float(level), compute_dtype, interpret,
+            mxu_precision,
         )
         count = int(count)
         viol = int(viol)

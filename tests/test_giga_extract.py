@@ -229,6 +229,50 @@ def test_giga_validates_inputs():
                           vol_fn=lambda x0, sx: None)
 
 
+def test_giga_nonzero_level_selects_the_right_shell():
+    """Extraction at level != 0 must select/refine blocks around f=level,
+    not f=0 (regression: the coarse mask used |coarse| <= tau, producing a
+    silently wrong mesh for offset surfaces)."""
+    from sdf_representation_tpu.ops.pallas_mlp import fused_grid_eval
+
+    model, params = _model_and_params()
+    n, level = 32, 0.3
+    vol = fused_grid_eval(model, params, n, compute_dtype=jnp.float32,
+                          interpret=True)
+    s = 2.0 / (n - 1)
+    ref = marching_cubes_device(jnp.asarray(vol), level, (s,) * 3,
+                                (-1.0,) * 3, wire="exact")
+    assert len(ref[1]) > 50
+    giga = extract_mesh_giga(
+        model, params, n, slab=16, level=level, wire="exact",
+        compute_dtype=jnp.float32, interpret=True, on_violation="error",
+    )
+    _assert_same_mesh(giga, ref)
+
+
+def test_sparse_grid_eval_nonzero_level():
+    """sparse_grid_eval(level=L) fills exactly on the f=L shell — the
+    extracted offset surface equals the dense volume's."""
+    from sdf_representation_tpu.ops.marching import marching_cubes
+    from sdf_representation_tpu.ops.pallas_mlp import fused_grid_eval
+
+    model, params = _model_and_params()
+    n, level = 32, 0.3
+    dense = np.asarray(fused_grid_eval(model, params, n,
+                                       compute_dtype=jnp.float32,
+                                       interpret=True))
+    sparse = np.asarray(sparse_grid_eval(
+        model, params, n, compute_dtype=jnp.float32, interpret=True,
+        on_violation="error", level=level,
+    ))
+    s = 2.0 / (n - 1)
+    vd, fd = marching_cubes(dense, level, (s,) * 3, (-1.0,) * 3)
+    vs, fs = marching_cubes(sparse, level, (s,) * 3, (-1.0,) * 3)
+    assert len(fd) > 50
+    np.testing.assert_array_equal(fs, fd)
+    np.testing.assert_allclose(vs, vd, rtol=0, atol=0)
+
+
 def test_giga_seam_fuzz_random_fields():
     """Random smooth-ish volumes put arbitrary crossing configurations ON
     the slab planes (including vertices exactly on seam edges and cells
