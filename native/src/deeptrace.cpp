@@ -116,20 +116,19 @@ int main(int argc, char** argv) {
     // forward-mode interpreter — the reference's ORT role,
     // reference ops/DeepTrace/src/deeptrace.cpp:30-71); .sdfw takes the
     // optimized register-blocked runtime (sdfnet.hpp)
+    // the lambdas capture their shared_ptr by value — model lifetime is
+    // tied to `eval` itself
     std::function<void(const float*, std::size_t, float*, float*)> eval;
-    std::shared_ptr<void> net_holder;
     if (model_file.size() > 5 &&
         model_file.substr(model_file.size() - 5) == ".onnx") {
       auto net = std::make_shared<onnxnet::Model>(
           onnxnet::Model::load(model_file));
-      net_holder = net;
       eval = [net](const float* p, std::size_t n, float* s, float* g) {
         net->evaluate(p, n, s, g);
       };
     } else {
       auto net = std::make_shared<sdfnet::ImplicitNet>(
           sdfnet::ImplicitNet::load(model_file));
-      net_holder = net;
       eval = [net](const float* p, std::size_t n, float* s, float* g) {
         net->evaluate(p, n, s, g);
       };

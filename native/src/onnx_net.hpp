@@ -266,24 +266,34 @@ class Model {
             out.t[k][i] = a.t[k][i] * dv[i];
         }
       } else if (nd.op == "Concat") {
+        // variadic, like ONNX Concat proper — every input contributes
         if (!nd.attr_i.count("axis") || nd.attr_i.at("axis") != 1)
           throw std::runtime_error("onnx: Concat needs axis=1");
-        const Var& a = env.at(nd.inputs[0]);
-        const Var& b = env.at(nd.inputs[1]);
-        out.cols = a.cols + b.cols;
-        auto cat = [&](const std::vector<float>& va,
-                       const std::vector<float>& vb, std::vector<float>& vo) {
+        if (nd.inputs.empty())
+          throw std::runtime_error("onnx: Concat without inputs");
+        std::vector<const Var*> parts;
+        out.cols = 0;
+        for (const auto& in_name : nd.inputs) {
+          parts.push_back(&env.at(in_name));
+          out.cols += parts.back()->cols;
+        }
+        auto cat = [&](int plane, std::vector<float>& vo) {
           vo.resize(n * out.cols);
           for (std::size_t i = 0; i < n; ++i) {
-            std::memcpy(vo.data() + i * out.cols, va.data() + i * a.cols,
-                        a.cols * sizeof(float));
-            std::memcpy(vo.data() + i * out.cols + a.cols,
-                        vb.data() + i * b.cols, b.cols * sizeof(float));
+            float* dst = vo.data() + i * out.cols;
+            for (const Var* p : parts) {
+              const std::vector<float>& vp =
+                  plane < 0 ? p->v : p->t[static_cast<std::size_t>(plane)];
+              std::memcpy(dst, vp.data() + i * p->cols,
+                          p->cols * sizeof(float));
+              dst += p->cols;
+            }
           }
         };
-        cat(a.v, b.v, out.v);
+        cat(-1, out.v);
         out.t.resize(nt);
-        for (std::size_t k = 0; k < nt; ++k) cat(a.t[k], b.t[k], out.t[k]);
+        for (std::size_t k = 0; k < nt; ++k)
+          cat(static_cast<int>(k), out.t[k]);
       } else if (nd.op == "Identity") {
         out = env.at(nd.inputs[0]);
       } else {
@@ -364,10 +374,28 @@ class Model {
     std::string name;
     int64_t dtype = 1;
     walk(s, [&](uint32_t field, uint32_t wire, Slice v, uint64_t u) {
-      if (field == 1 && wire == 0) t.dims.push_back(static_cast<int64_t>(u));
-      else if (field == 2 && wire == 0) dtype = static_cast<int64_t>(u);
-      else if (field == 8 && wire == 2) name = to_str(v);
-      else if (field == 9 && wire == 2) {
+      if (field == 1 && wire == 0) {
+        t.dims.push_back(static_cast<int64_t>(u));
+      } else if (field == 1 && wire == 2) {
+        // packed repeated varint dims — what proto3 serializers (e.g. the
+        // reference's torch.onnx export) actually emit
+        const uint8_t* p = v.p;
+        const uint8_t* end = v.p + v.n;
+        while (p < end)
+          t.dims.push_back(static_cast<int64_t>(read_varint(p, end)));
+      } else if (field == 2 && wire == 0) {
+        dtype = static_cast<int64_t>(u);
+      } else if (field == 4 && wire == 2) {
+        // packed repeated float float_data (alternative to raw_data)
+        t.data.resize(v.n / 4);
+        std::memcpy(t.data.data(), v.p, t.data.size() * 4);
+      } else if (field == 4 && wire == 5) {
+        float fv;
+        std::memcpy(&fv, v.p, 4);
+        t.data.push_back(fv);
+      } else if (field == 8 && wire == 2) {
+        name = to_str(v);
+      } else if (field == 9 && wire == 2) {
         t.data.resize(v.n / 4);
         std::memcpy(t.data.data(), v.p, t.data.size() * 4);
       }

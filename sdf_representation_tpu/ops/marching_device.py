@@ -228,17 +228,20 @@ def _get_march_device():
         count = cume[-1]
         base = cume - pc  # exclusive set-bit prefix per word
         slot = jnp.where(pc > 0, base, out_max)  # dead words drop
+        # NOTE: no indices_are_sorted/unique_indices hints — the sentinel
+        # rows make `slot` neither monotone nor duplicate-free, and lying
+        # to XLA about scatter indices is implementation-defined on TPU.
+        # The scatter is word-count-sized (nflat/32 elements), so the
+        # unhinted lowering costs ~nothing next to the output-sized work.
         wid = jax.lax.cummax(
             jnp.zeros((out_max,), jnp.int32)
             .at[slot]
-            .max(jnp.arange(nw, dtype=jnp.int32), mode="drop",
-                 indices_are_sorted=True, unique_indices=True)
+            .max(jnp.arange(nw, dtype=jnp.int32), mode="drop")
         )
         bse = jax.lax.cummax(
             jnp.zeros((out_max,), jnp.int32)
             .at[slot]
-            .max(base, mode="drop", indices_are_sorted=True,
-                 unique_indices=True)
+            .max(base, mode="drop")
         )
         r = jnp.arange(out_max, dtype=jnp.int32) - bse  # in-word rank
         w = words[wid]  # (out_max,) gather — the only output-sized traffic
@@ -538,6 +541,48 @@ def _quantize(x: int, q: int = 4096) -> int:
     return -(-int(x) // q) * q
 
 
+def _run_with_budget_growth(key, nb3, m2, attempt):
+    """Shared budget-cache/grow loop for both wire paths.
+
+    attempt(b_max, c_max, m_max, v_max, t_max) -> (counts, result) where
+    counts maps a subset of "bcmvt" to the live counts this attempt
+    produced. Grows overflowed budgets by 1.25x (quantized) and retries;
+    guards the packed core word's 2^24-vertex ceiling BEFORE accepting a
+    pass (a cached budget large enough to hold >16.7M vertices would
+    otherwise succeed with cvbase << 7 already wrapped in int32); caches
+    the settled budgets per volume shape."""
+    budgets = list(_BUDGET_CACHE.get(
+        key,
+        (
+            min(nb3, _quantize(m2 // 8 + 512, 1024)),
+            _quantize(5 * m2),
+            _quantize(5 * m2),
+            _quantize(14 * m2),
+            _quantize(27 * m2),
+        ),
+    ))
+    while True:
+        counts, result = attempt(*budgets)
+        cv = counts.get("v")
+        if cv is not None and cv > 1 << 24:
+            raise ValueError(
+                f"{cv} vertices overflow the packed core-word budget "
+                "(2^24); extract in sub-volumes (ops/giga_extract)"
+            )
+        grew = False
+        for i, name in enumerate("bcmvt"):
+            c = counts.get(name)
+            if c is not None and c > budgets[i]:
+                grew = True
+                if name == "b":
+                    budgets[i] = min(nb3, _quantize(c * 1.25, 1024))
+                else:
+                    budgets[i] = _quantize(c * 1.25)
+        if not grew:
+            _BUDGET_CACHE[key] = tuple(budgets)
+            return result
+
+
 def marching_tets_device(vol, level: float = 0.0):
     """Run the device extractor with budget growth.
 
@@ -561,43 +606,18 @@ def marching_tets_device(vol, level: float = 0.0):
     # recompile on typical fields, 1.25x quantized growth handles
     # pathological ones
     m2 = max(nx, ny, nz) ** 2
-    b_max, c_max, m_max, v_max, t_max = _BUDGET_CACHE.get(
-        key,
-        (
-            min(nb3, _quantize(m2 // 8 + 512, 1024)),
-            _quantize(5 * m2),
-            _quantize(5 * m2),
-            _quantize(14 * m2),
-            _quantize(27 * m2),
-        ),
-    )
     fn = _get_march_device()[0]
-    while True:
+
+    def attempt(b_max, c_max, m_max, v_max, t_max):
         out = fn(vol, jnp.float32(level), b_max, c_max, m_max, v_max, t_max)
-        vslots, t, f0, f1, f2 = out[:5]
         cb, cc, cm, cv, ct = (int(x) for x in out[5:])
-        # check BEFORE the budgets-satisfied break: a cached budget large
-        # enough to hold >16.7M vertices would otherwise break on the
-        # first pass with cvbase << 7 already wrapped in int32
-        if cv > 1 << 24:
-            raise ValueError(
-                f"{cv} vertices overflow the packed core-word budget (2^24);"
-                " extract in sub-volumes"
-            )
-        if (cb <= b_max and cc <= c_max and cm <= m_max and cv <= v_max
-                and ct <= t_max):
-            _BUDGET_CACHE[key] = (b_max, c_max, m_max, v_max, t_max)
-            break
-        if cb > b_max:
-            b_max = min(nb3, _quantize(cb * 1.25, 1024))
-        if cc > c_max:
-            c_max = _quantize(cc * 1.25)
-        if cm > m_max:
-            m_max = _quantize(cm * 1.25)
-        if cv > v_max:
-            v_max = _quantize(cv * 1.25)
-        if ct > t_max:
-            t_max = _quantize(ct * 1.25)
+        return {"b": cb, "c": cc, "m": cm, "v": cv, "t": ct}, (
+            out[:5], cv, ct,
+        )
+
+    (vslots, t, f0, f1, f2), cv, ct = _run_with_budget_growth(
+        key, nb3, m2, attempt
+    )
     vslots_h = np.asarray(vslots[:cv], dtype=np.int64)
     t_h = np.asarray(t[:cv], dtype=np.float64)
     faces_h = np.stack(
@@ -818,36 +838,20 @@ def marching_tets_device_packed(vol, level: float = 0.0):
     nb3 = nbx * nby * nbz
     key = vol.shape
     m2 = max(nx, ny, nz) ** 2
-    b_max, c_max, m_max, v_max, t_max = _BUDGET_CACHE.get(
-        key,
-        (
-            min(nb3, _quantize(m2 // 8 + 512, 1024)),
-            _quantize(5 * m2),
-            _quantize(5 * m2),
-            _quantize(14 * m2),
-            _quantize(27 * m2),
-        ),
-    )
     fn = _get_march_device()[1]
-    while True:
+
+    def attempt(b_max, c_max, m_max, v_max, t_max):
         words, t_q, bids, cb, cc, cv = fn(
             vol, jnp.float32(level), b_max, c_max, v_max
         )
         cb, cc, cv = int(cb), int(cc), int(cv)
-        if cv > 1 << 24:
-            raise ValueError(
-                f"{cv} vertices overflow the packed core-word budget (2^24);"
-                " extract in sub-volumes"
-            )
-        if cb <= b_max and cc <= c_max and cv <= v_max:
-            _BUDGET_CACHE[key] = (b_max, c_max, m_max, v_max, t_max)
-            break
-        if cb > b_max:
-            b_max = min(nb3, _quantize(cb * 1.25, 1024))
-        if cc > c_max:
-            c_max = _quantize(cc * 1.25)
-        if cv > v_max:
-            v_max = _quantize(cv * 1.25)
+        # m/t budgets are untouched by the packed wire (stages 6-7 run on
+        # host) but stay in the shared cache tuple for the exact path
+        return {"b": cb, "c": cc, "v": cv}, (words, t_q, bids, cb, cv)
+
+    words, t_q, bids, cb, cv = _run_with_budget_growth(
+        key, nb3, m2, attempt
+    )
     words_h = np.asarray(words[:cb])
     t_h = np.asarray(t_q[:cv])
     bids_h = np.asarray(bids[:cb])

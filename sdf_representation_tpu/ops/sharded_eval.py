@@ -166,20 +166,12 @@ def _sparse_sharded_device(
         (ids,) = jnp.nonzero(mask, size=k_max, fill_value=0)
         ids = ids.astype(jnp.int32)
 
-        # certificate (replicated; see ops/sparse_grid.py): adjacent
+        # certificate (replicated): the single shared copy — adjacent
         # inactive blocks with disagreeing center signs prove a missed
-        # crossing — only possible when local Lipschitz > ~1.95*safety
-        c3 = (coarse <= 0.0).reshape(nb, nb, nb)
-        i3 = jnp.logical_not(mask).reshape(nb, nb, nb)
-        viol = jnp.int32(0)
-        for ax_ in range(3):
-            lo = [slice(None)] * 3
-            hi = [slice(None)] * 3
-            lo[ax_] = slice(None, -1)
-            hi[ax_] = slice(1, None)
-            bad = ((c3[tuple(lo)] != c3[tuple(hi)])
-                   & i3[tuple(lo)] & i3[tuple(hi)])
-            viol = viol + jnp.sum(bad.astype(jnp.int32))
+        # crossing, only possible when local Lipschitz > ~1.95*safety
+        from .sparse_grid import certificate_violations
+
+        viol = certificate_violations(coarse, mask, nb)
 
         # ---- 3. refine MY contiguous slice of the active list ------------
         # (actives spread over the whole surface, so equal slices of the

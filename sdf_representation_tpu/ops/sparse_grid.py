@@ -141,7 +141,13 @@ def coarse_and_certificate(model, params, n, block, safety, eps,
     )
     coarse = model.apply(params, centers).astype(jnp.float32)  # (nb3,)
     mask = jnp.abs(coarse - level) <= tau
+    return coarse, mask, certificate_violations(coarse, mask, nb, level)
 
+
+def certificate_violations(coarse, mask, nb, level=0.0):
+    """Count adjacent INACTIVE block pairs whose centers straddle the
+    level — each one proves a crossing the selection skipped (traced; the
+    single copy of the certificate, shared with ops/sharded_eval.py)."""
     c3 = (coarse <= level).reshape(nb, nb, nb)
     i3 = jnp.logical_not(mask).reshape(nb, nb, nb)
     viol = jnp.int32(0)
@@ -156,7 +162,7 @@ def coarse_and_certificate(model, params, n, block, safety, eps,
             & i3[tuple(hi)]
         )
         viol = viol + jnp.sum(bad.astype(jnp.int32))
-    return coarse, mask, viol
+    return viol
 
 
 def refine_blocks(model, params, ids, count, n, block, k_max, tile_blocks,

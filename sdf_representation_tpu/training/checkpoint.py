@@ -55,7 +55,16 @@ def _align_to_template(template, raw, path="state"):
             for k in template
         }
     if isinstance(template, (list, tuple)):
-        vals = list(raw.values()) if isinstance(raw, dict) else list(raw)
+        fields = getattr(template, "_fields", None)  # namedtuple (e.g.
+        # optax ScaleByAdamState — flax serializes these as field-name
+        # dicts, so align by field when possible)
+        if isinstance(raw, dict):
+            if fields is not None and set(fields) <= set(raw):
+                vals = [raw[f] for f in fields]
+            else:
+                vals = list(raw.values())
+        else:
+            vals = list(raw)
         if len(vals) != len(template):
             raise ValueError(f"{path}: length {len(vals)} != template "
                              f"{len(template)}")
@@ -63,6 +72,8 @@ def _align_to_template(template, raw, path="state"):
             _align_to_template(t, v, f"{path}[{i}]")
             for i, (t, v) in enumerate(zip(template, vals))
         ]
+        if fields is not None:
+            return type(template)(*out)
         return type(template)(out) if isinstance(template, tuple) else out
     return raw
 

@@ -227,3 +227,31 @@ def test_post_process_e2e(tmp_path):
     row = pd.read_csv(os.path.join(save, "results.csv")).iloc[-1]
     assert row["Resolution"] == cfg.cubesize
     assert abs(row["Accuracy"] - out["sign_accuracy"]) < 1e-9
+
+
+def test_checkpoint_alignment_fallback_with_optimizer_state(tmp_path):
+    """The extra-key alignment fallback must survive namedtuple nodes
+    (optax ScaleByAdamState et al.) — regression: type(template)(list)
+    crashed on any checkpoint carrying real optimizer state."""
+    import optax
+
+    from sdf_representation_tpu.training.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    params = {"layers": [{"w": np.ones((3, 4), np.float32),
+                          "b": np.zeros(4, np.float32)}]}
+    opt = optax.adam(1e-3)
+    state = {"params": params, "opt_state": opt.init(params), "epoch": 5,
+             "legacy_marker": np.zeros((), np.bool_)}  # extra key
+    p = str(tmp_path / "o.ckpt")
+    save_checkpoint(p, state)
+    template = {"params": jax.tree_util.tree_map(np.zeros_like, params),
+                "opt_state": opt.init(params), "epoch": 0}
+    restored = load_checkpoint(p, template)  # forces the alignment path
+    assert restored["epoch"] == 5
+    mu = restored["opt_state"][0].mu["layers"][0]["w"]
+    np.testing.assert_array_equal(mu, np.zeros((3, 4), np.float32))
+    np.testing.assert_array_equal(restored["params"]["layers"][0]["w"],
+                                  params["layers"][0]["w"])
