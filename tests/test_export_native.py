@@ -375,3 +375,78 @@ def test_native_runtime_python_wrapper(tmp_path, model_and_params,
             net.evaluate(pts[:, :2])
     with pytest.raises(FileNotFoundError, match="not built"):
         NativeSDF("x.sdfw", lib_path="/nonexistent/lib.so")
+
+
+def test_c_abi_reads_proto3_packed_onnx(tmp_path, model_and_params,
+                                        native_build):
+    """External serializers (proto3: packed TensorProto.dims, float_data
+    instead of raw_data) must parse identically — regression: packed dims
+    were silently dropped, mis-typing weight tensors as scalars."""
+    import ctypes
+    import struct
+
+    from sdf_representation_tpu.export import protobuf_min as pb
+
+    model, params = model_and_params
+    out = str(tmp_path)
+    save_for_native(out, model, params, onnx=True)
+    src = open(os.path.join(out, "model.onnx"), "rb").read()
+
+    def reencode_tensor(tbuf):
+        dims, dtype, name, raw = [], 1, b"", b""
+        for f, w, v in pb.decode(tbuf):
+            if f == 1 and w == 0:
+                dims.append(v)
+            elif f == 2 and w == 0:
+                dtype = v
+            elif f == 8 and w == 2:
+                name = v
+            elif f == 9 and w == 2:
+                raw = v
+        floats = struct.unpack(f"<{len(raw) // 4}f", raw)
+        return (pb.f_packed_varints(1, dims) + pb.f_varint(2, dtype)
+                + pb.f_packed_floats(4, floats)
+                + pb.f_bytes(8, name))
+
+    def reencode(buf, transform_graph):
+        outb = b""
+        for f, w, v in pb.decode(buf):
+            if w == 0:
+                outb += pb.f_varint(f, v)
+            elif w == 2:
+                if transform_graph and f == 7:  # ModelProto.graph
+                    outb += pb.f_message(f, reencode(v, False))
+                elif not transform_graph and f == 5:  # initializer
+                    outb += pb.f_message(f, reencode_tensor(v))
+                else:
+                    outb += pb.f_bytes(f, v)
+            elif w == 5:
+                outb += pb.f_float(f, v)
+            else:
+                raise AssertionError(f"wire {w}")
+        return outb
+
+    packed_path = os.path.join(out, "model_packed.onnx")
+    open(packed_path, "wb").write(reencode(src, True))
+
+    lib = ctypes.CDLL(os.path.join(native_build, "libsdfnet_c.so"))
+    lib.sdfnet_load.restype = ctypes.c_void_p
+    lib.sdfnet_load.argtypes = [ctypes.c_char_p]
+    lib.sdfnet_last_error.restype = ctypes.c_char_p
+    lib.sdfnet_evaluate.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int,
+    ]
+    lib.sdfnet_free.argtypes = [ctypes.c_void_p]
+    h = lib.sdfnet_load(packed_path.encode())
+    assert h, lib.sdfnet_last_error().decode()
+    pts = np.random.default_rng(7).uniform(-1, 1, (64, 3)).astype(np.float32)
+    vals = np.empty(64, np.float32)
+    fptr = ctypes.POINTER(ctypes.c_float)
+    rc = lib.sdfnet_evaluate(h, pts.ctypes.data_as(fptr), 64,
+                             vals.ctypes.data_as(fptr), None, 1)
+    assert rc == 0, lib.sdfnet_last_error().decode()
+    ref = np.asarray(model.apply(params, pts))
+    np.testing.assert_allclose(vals, ref, rtol=1e-4, atol=1e-5)
+    lib.sdfnet_free(h)
