@@ -17,10 +17,12 @@ Design (all shapes chosen so no lane<->sublane relayout is ever needed):
     "first visit of this output row".
   * Compute tiles are (T_SUB triangles x M_SUB points): points ride the
     LANES (native to the (1, 8, M) packed point block and the (1, M)
-    output rows), triangles ride the SUBLANES. Per-triangle constants
-    become (T_SUB, 1) columns via ONE MXU transpose of the packed
-    (ROWS, T) table block per step (dot_general contracting dim 0 with
-    dim 0 — the same `x^T @ g` form ops/pallas_igr.py uses).
+    output rows), triangles ride the SUBLANES. The table is packed
+    (C, T, ROWS) on the host, so per-triangle constants are (T_SUB, 1)
+    lane columns of a dynamic SUBLANE slice of the resident table block
+    — no in-kernel transpose, and in particular no MXU pass (a default-
+    precision MXU transpose silently rounds constants to bfloat16; that
+    bug cost ~100 absolute in 20k-face winding sums before this layout).
   * The running per-block reduction lives in the OUTPUT block itself.
     Steps of a block are contiguous (block-major streams), so Pallas
     keeps the block in VMEM across the whole visit run and flushes it
@@ -28,7 +30,7 @@ Design (all shapes chosen so no lane<->sublane relayout is ever needed):
     an input ALIASED to the output (carrying partial results across
     slab boundaries; the host initialises the buffers once).
 
-The triangle constants are packed as one (C, ROWS, T) f32 array per
+The triangle constants are packed as one (C, T, ROWS) f32 array per
 stream (row layout below) so each step is a single dense block DMA.
 
 Role match: reference datagenerator/data_generator.py:880-906 (libigl
@@ -105,38 +107,38 @@ def _check_tiling(tri_chunk: int, m: int) -> None:
         )
 
 
-def _eye(n: int) -> jnp.ndarray:
-    r = jax.lax.broadcasted_iota(I32, (n, n), 0)
-    c = jax.lax.broadcasted_iota(I32, (n, n), 1)
-    return (r == c).astype(F32)
-
-
 def pack_dist_table(tables: dict, tri_chunk: int) -> np.ndarray:
-    """(C, 16, T) f32 from the _triangle_tables dict (host, once)."""
+    """(C, T, 16) f32 from the _triangle_tables dict (host, once).
+
+    Triangles ride the SUBLANES, constants the LANES: the kernels slice
+    (T_SUB, 16) strips with a dynamic sublane offset straight off the
+    VMEM block (Mosaic supports dynamic sublane ref slicing but has no
+    dynamic_slice on register values), so no in-kernel transpose — and
+    no MXU pass that would round the constants — is ever needed."""
     C = tables["a"].shape[0]
-    out = np.zeros((C, _D_ROWS, tri_chunk), np.float32)
+    out = np.zeros((C, tri_chunk, _D_ROWS), np.float32)
     for base, key in ((_D_V0, "v0"), (_D_E0, "E0"), (_D_E1, "E1")):
         for k in range(3):
-            out[:, base + k, :] = tables[key][:, :, k]
+            out[:, :, base + k] = tables[key][:, :, k]
     for row, key in ((_D_A, "a"), (_D_B, "b"), (_D_C, "c"),
                      (_D_E0V0, "e0v0"), (_D_E1V0, "e1v0"),
                      (_D_VALID, "valid")):
-        out[:, row, :] = tables[key]
+        out[:, :, row] = tables[key]
     return out
 
 
 def pack_wind_table(tables: dict, tri_chunk: int) -> np.ndarray:
-    """(C, 24, T) f32 winding constants from the _triangle_tables dict."""
+    """(C, T, 24) f32 winding constants (layout: see pack_dist_table)."""
     C = tables["d0"].shape[0]
-    out = np.zeros((C, _W_ROWS, tri_chunk), np.float32)
+    out = np.zeros((C, tri_chunk, _W_ROWS), np.float32)
     for base, key in ((_W_V0, "v0"), (_W_V1, "v1"), (_W_V2, "v2"),
                       (_W_K, "K")):
         for k in range(3):
-            out[:, base + k, :] = tables[key][:, :, k]
+            out[:, :, base + k] = tables[key][:, :, k]
     for row, key in ((_W_N00, "n00"), (_W_N11, "n11"), (_W_N22, "n22"),
                      (_W_N01, "n01"), (_W_N12, "n12"), (_W_N20, "n20"),
                      (_W_D0, "d0"), (_W_VALID, "valid")):
-        out[:, row, :] = tables[key]
+        out[:, :, row] = tables[key]
     return out
 
 
@@ -148,15 +150,6 @@ def pack_points(P_blocks: np.ndarray) -> np.ndarray:
     out[:, 1] = P_blocks[:, :, 1]
     out[:, 2] = P_blocks[:, :, 2]
     return out
-
-
-def _transpose_tab(tab_block):
-    """(ROWS, T) -> (T, ROWS) via the MXU (contract dim 0 with dim 0)."""
-    rows = tab_block.shape[0]
-    return jax.lax.dot_general(
-        tab_block, _eye(rows), (((0,), (0,)), ((), ())),
-        preferred_element_type=F32,
-    )
 
 
 def _atan2(y, x):
@@ -190,6 +183,9 @@ def _atan2(y, x):
 
 def _dist_kernel(sb_ref, sc_ref, p_ref, ind_ref, inb_ref, tab_ref,
                  outd_ref, outb_ref, *, tri_chunk: int, m: int):
+    # state blocks are (1, 1, m): Mosaic requires the last TWO dims of a
+    # block to be (8k, 128k)-divisible or equal to the array dims, so the
+    # (B+1, M) state rides as (B+1, 1, M) with full (1, M) trailing dims
     i = pl.program_id(0)
     # i == 0 must seed even when the segment continues from the previous
     # slab: a fresh pallas_call's out-block VMEM is undefined, and the
@@ -201,10 +197,9 @@ def _dist_kernel(sb_ref, sc_ref, p_ref, ind_ref, inb_ref, tab_ref,
         # seed the VMEM out block with the partial result so far (the
         # aliased input row: +inf at stream start, or the previous
         # slab's write-back when a segment spans slabs)
-        outd_ref[0, :] = ind_ref[0, :]
-        outb_ref[0, :] = inb_ref[0, :]
+        outd_ref[0, 0, :] = ind_ref[0, 0, :]
+        outb_ref[0, 0, :] = inb_ref[0, 0, :]
 
-    ttab = _transpose_tab(tab_ref[0])  # (T, 24)
     face_base = sc_ref[i + 1] * tri_chunk
 
     m_sub = min(_M_SUB, m)
@@ -214,10 +209,13 @@ def _dist_kernel(sb_ref, sc_ref, p_ref, ind_ref, inb_ref, tab_ref,
         py = p_ref[0, 1:2, ms]
         pz = p_ref[0, 2:3, ms]
 
+        # strips ride a fori_loop: the (T_SUB, 16) strip is a dynamic
+        # SUBLANE slice of the resident (T, 16) VMEM table block (lanes
+        # hold the 16 constants; exact — no MXU transpose in the path)
         def strip(j, carry):
             run_d, run_b = carry  # (1, M_SUB) f32 / i32
             t0 = j * _T_SUB
-            tt = jax.lax.dynamic_slice(ttab, (t0, 0), (_T_SUB, _D_ROWS))
+            tt = tab_ref[0, pl.dslice(t0, _T_SUB), :]  # (T_SUB, ROWS)
             col = lambda r: jax.lax.slice(tt, (0, r), (_T_SUB, r + 1))
             pe0 = col(_D_E0) * px + col(_D_E0 + 1) * py + col(_D_E0 + 2) * pz
             pe1 = col(_D_E1) * px + col(_D_E1 + 1) * py + col(_D_E1 + 2) * pz
@@ -242,12 +240,12 @@ def _dist_kernel(sb_ref, sc_ref, p_ref, ind_ref, inb_ref, tab_ref,
             run_b = jnp.where(better, face_base + loc_arg, run_b)
             return run_d, run_b
 
-        run_d, run_b = jax.lax.fori_loop(
+        carry = jax.lax.fori_loop(
             0, tri_chunk // _T_SUB, strip,
-            (outd_ref[0:1, ms], outb_ref[0:1, ms]),
+            (outd_ref[0, 0:1, ms], outb_ref[0, 0:1, ms]),
         )
-        outd_ref[0:1, ms] = run_d
-        outb_ref[0:1, ms] = run_b
+        outd_ref[0, 0:1, ms] = carry[0]
+        outb_ref[0, 0:1, ms] = carry[1]
 
 
 @partial(jax.jit, static_argnames=("tri_chunk", "m", "interpret"),
@@ -265,20 +263,20 @@ def _dist_slab_call(sb, sc, p_packed, outd, outb, tab, tri_chunk: int,
                 lambda i, sb, sc: (jnp.minimum(sb[i + 1], B - 1), 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((1, m), lambda i, sb, sc: (sb[i + 1], 0),
+            pl.BlockSpec((1, 1, m), lambda i, sb, sc: (sb[i + 1], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m), lambda i, sb, sc: (sb[i + 1], 0),
+            pl.BlockSpec((1, 1, m), lambda i, sb, sc: (sb[i + 1], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, _D_ROWS, tri_chunk),
+                (1, tri_chunk, _D_ROWS),
                 lambda i, sb, sc: (sc[i + 1], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
-            pl.BlockSpec((1, m), lambda i, sb, sc: (sb[i + 1], 0),
+            pl.BlockSpec((1, 1, m), lambda i, sb, sc: (sb[i + 1], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m), lambda i, sb, sc: (sb[i + 1], 0),
+            pl.BlockSpec((1, 1, m), lambda i, sb, sc: (sb[i + 1], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -309,9 +307,7 @@ def _wind_kernel(sb_ref, sc_ref, p_ref, inw_ref, tab_ref, outw_ref,
 
     @pl.when(first_visit)
     def _():
-        outw_ref[0, :] = inw_ref[0, :]
-
-    ttab = _transpose_tab(tab_ref[0])  # (T, 24)
+        outw_ref[0, 0, :] = inw_ref[0, 0, :]
 
     m_sub = min(_M_SUB, m)
     for m0 in range(0, m, m_sub):
@@ -323,7 +319,7 @@ def _wind_kernel(sb_ref, sc_ref, p_ref, inw_ref, tab_ref, outw_ref,
 
         def strip(j, acc):
             t0 = j * _T_SUB
-            tt = jax.lax.dynamic_slice(ttab, (t0, 0), (_T_SUB, _W_ROWS))
+            tt = tab_ref[0, pl.dslice(t0, _T_SUB), :]  # (T_SUB, ROWS)
             col = lambda r: jax.lax.slice(tt, (0, r), (_T_SUB, r + 1))
             pv0 = col(_W_V0) * px + col(_W_V0 + 1) * py + col(_W_V0 + 2) * pz
             pv1 = col(_W_V1) * px + col(_W_V1 + 1) * py + col(_W_V1 + 2) * pz
@@ -341,9 +337,9 @@ def _wind_kernel(sb_ref, sc_ref, p_ref, inw_ref, tab_ref, outw_ref,
             return acc + jnp.sum(omega, axis=0, keepdims=True)
 
         acc = jax.lax.fori_loop(
-            0, tri_chunk // _T_SUB, strip, outw_ref[0:1, ms]
+            0, tri_chunk // _T_SUB, strip, outw_ref[0, 0:1, ms]
         )
-        outw_ref[0:1, ms] = acc
+        outw_ref[0, 0:1, ms] = acc
 
 
 @partial(jax.jit, static_argnames=("tri_chunk", "m", "interpret"),
@@ -361,16 +357,16 @@ def _wind_slab_call(sb, sc, p_packed, outw, tab, tri_chunk: int, m: int,
                 lambda i, sb, sc: (jnp.minimum(sb[i + 1], B - 1), 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((1, m), lambda i, sb, sc: (sb[i + 1], 0),
+            pl.BlockSpec((1, 1, m), lambda i, sb, sc: (sb[i + 1], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, _W_ROWS, tri_chunk),
+                (1, tri_chunk, _W_ROWS),
                 lambda i, sb, sc: (sc[i + 1], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
-            pl.BlockSpec((1, m), lambda i, sb, sc: (sb[i + 1], 0),
+            pl.BlockSpec((1, 1, m), lambda i, sb, sc: (sb[i + 1], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -418,9 +414,11 @@ def dist_stream_pallas(P_blocks_np, step_block, step_chunk, tables_np,
     _check_tiling(tri_chunk, M)
     p_packed = jnp.asarray(pack_points(P_blocks_np))
     tab = jnp.asarray(pack_dist_table(tables_np, tri_chunk))
+    # state is (B+1, 1, M): Mosaic needs the blocked row to keep full
+    # trailing (1, M) dims (see _dist_kernel docnote)
     state = [
-        jnp.full((B + 1, M), jnp.inf, F32),
-        jnp.zeros((B + 1, M), I32),
+        jnp.full((B + 1, 1, M), jnp.inf, F32),
+        jnp.zeros((B + 1, 1, M), I32),
     ]
 
     def run_one(sb, sc):
@@ -430,7 +428,7 @@ def dist_stream_pallas(P_blocks_np, step_block, step_chunk, tables_np,
         )
 
     _slabbed(step_block, step_chunk, slab, run_one)
-    return state[0], state[1]
+    return state[0][:, 0, :], state[1][:, 0, :]
 
 
 def wind_stream_pallas(P_blocks_np, step_block, step_chunk, tables_np,
@@ -444,7 +442,7 @@ def wind_stream_pallas(P_blocks_np, step_block, step_chunk, tables_np,
     _check_tiling(tri_chunk, M)
     p_packed = jnp.asarray(pack_points(P_blocks_np))
     tab = jnp.asarray(pack_wind_table(tables_np, tri_chunk))
-    state = [jnp.zeros((B + 1, M), F32)]
+    state = [jnp.zeros((B + 1, 1, M), F32)]
 
     def run_one(sb, sc):
         state[0] = _wind_slab_call(
@@ -452,7 +450,7 @@ def wind_stream_pallas(P_blocks_np, step_block, step_chunk, tables_np,
         )
 
     _slabbed(step_block, step_chunk, slab, run_one)
-    return state[0]
+    return state[0][:, 0, :]
 
 
 # ---------------------------------------------------------------------------
@@ -525,32 +523,36 @@ def dist_stream_pallas_sharded(P_blocks_np, step_block, step_chunk,
                         jnp.minimum(sbr[i + 1], B_local - 1), 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
-                pl.BlockSpec((1, M), lambda i, sbr, scr: (sbr[i + 1], 0),
+                pl.BlockSpec((1, 1, M),
+                             lambda i, sbr, scr: (sbr[i + 1], 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, M), lambda i, sbr, scr: (sbr[i + 1], 0),
+                pl.BlockSpec((1, 1, M),
+                             lambda i, sbr, scr: (sbr[i + 1], 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(
-                    (1, _D_ROWS, tri_chunk),
+                    (1, tri_chunk, _D_ROWS),
                     lambda i, sbr, scr: (scr[i + 1], 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ],
             out_specs=[
-                pl.BlockSpec((1, M), lambda i, sbr, scr: (sbr[i + 1], 0),
+                pl.BlockSpec((1, 1, M),
+                             lambda i, sbr, scr: (sbr[i + 1], 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, M), lambda i, sbr, scr: (sbr[i + 1], 0),
+                pl.BlockSpec((1, 1, M),
+                             lambda i, sbr, scr: (sbr[i + 1], 0, 0),
                              memory_space=pltpu.VMEM),
             ],
         )
         kernel = partial(_dist_kernel, tri_chunk=tri_chunk, m=M)
-        outd0 = jnp.full((B_local + 1, M), jnp.inf, F32)
-        outb0 = jnp.zeros((B_local + 1, M), I32)
+        outd0 = jnp.full((B_local + 1, 1, M), jnp.inf, F32)
+        outb0 = jnp.zeros((B_local + 1, 1, M), I32)
         outd, outb = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=[
-                jax.ShapeDtypeStruct((B_local + 1, M), F32),
-                jax.ShapeDtypeStruct((B_local + 1, M), I32),
+                jax.ShapeDtypeStruct((B_local + 1, 1, M), F32),
+                jax.ShapeDtypeStruct((B_local + 1, 1, M), I32),
             ],
             input_output_aliases={3: 0, 4: 1},
             compiler_params=pltpu.CompilerParams(
@@ -558,7 +560,7 @@ def dist_stream_pallas_sharded(P_blocks_np, step_block, step_chunk,
             ),
             interpret=interpret,
         )(sb_d[0], sc_d[0], p_d, outd0, outb0, tab_r)
-        return outd[None, :B_local], outb[None, :B_local]
+        return outd[None, :B_local, 0], outb[None, :B_local, 0]
 
     fn = shard_map(
         device_fn, mesh=mesh,
@@ -610,32 +612,34 @@ def wind_stream_pallas_sharded(P_blocks_np, step_block, step_chunk,
                         jnp.minimum(sbr[i + 1], B_local - 1), 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
-                pl.BlockSpec((1, M), lambda i, sbr, scr: (sbr[i + 1], 0),
+                pl.BlockSpec((1, 1, M),
+                             lambda i, sbr, scr: (sbr[i + 1], 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(
-                    (1, _W_ROWS, tri_chunk),
+                    (1, tri_chunk, _W_ROWS),
                     lambda i, sbr, scr: (scr[i + 1], 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ],
             out_specs=[
-                pl.BlockSpec((1, M), lambda i, sbr, scr: (sbr[i + 1], 0),
+                pl.BlockSpec((1, 1, M),
+                             lambda i, sbr, scr: (sbr[i + 1], 0, 0),
                              memory_space=pltpu.VMEM),
             ],
         )
         kernel = partial(_wind_kernel, tri_chunk=tri_chunk, m=M)
-        outw0 = jnp.zeros((B_local + 1, M), F32)
+        outw0 = jnp.zeros((B_local + 1, 1, M), F32)
         outw = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=[jax.ShapeDtypeStruct((B_local + 1, M), F32)],
+            out_shape=[jax.ShapeDtypeStruct((B_local + 1, 1, M), F32)],
             input_output_aliases={3: 0},
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 1024 * 1024,
             ),
             interpret=interpret,
         )(sb_d[0], sc_d[0], p_d, outw0, tab_r)[0]
-        return outw[None, :B_local]
+        return outw[None, :B_local, 0]
 
     fn = shard_map(
         device_fn, mesh=mesh,
