@@ -14,6 +14,8 @@
 //   Softplus / Relu / Tanh                 — activations
 //   Concat (axis=1)                        — skip connections
 //   Identity                               — output alias
+//   DequantizeLinear (int8 weights)        — constant-folded at load, the
+//                                            quantized model.onnx form
 //
 // Anything else raises, exactly like the Python evaluator
 // (export/onnx_eval.py). Shapes are (batch, cols) row-major f32 matrices.
@@ -107,7 +109,9 @@ inline std::string to_str(Slice s) {
 
 struct Tensor {
   std::vector<int64_t> dims;
-  std::vector<float> data;
+  std::vector<float> data;    // f32 payload (or dequantized view)
+  std::vector<int8_t> i8;     // int8 payload (quantized weights)
+  int64_t dtype = 1;          // TensorProto.DataType: 1=float, 3=int8
   bool scalar() const {
     int64_t n = 1;
     for (int64_t d : dims) n *= d;
@@ -339,6 +343,58 @@ class Model {
     });
     if (input_name.empty() || output_name.empty() || d_in <= 0)
       throw std::runtime_error("onnx: graph missing typed input/output");
+    fold_dequantize();
+  }
+
+  // Constant-fold DequantizeLinear(int8 W, per-axis scale[, zero_point])
+  // whose inputs are all initializers — the quantized-weight form the
+  // exporter emits (export/onnx_export.py save_as_onnx(quantize=True),
+  // mirroring the reference's quantize_save artifact,
+  // reference utils/inference_conversion.py:113-114). The folded float
+  // tensor takes the node's output name, so downstream Gemm finds its
+  // weights in `init` exactly as in the f32 graph. This is what ORT's
+  // graph optimizer does at session-create.
+  void fold_dequantize() {
+    std::vector<Node> kept;
+    kept.reserve(nodes.size());
+    for (Node& nd : nodes) {
+      if (nd.op != "DequantizeLinear") {
+        kept.push_back(std::move(nd));
+        continue;
+      }
+      if (nd.inputs.size() < 2 || !init.count(nd.inputs[0]) ||
+          !init.count(nd.inputs[1]))
+        throw std::runtime_error(
+            "onnx: DequantizeLinear inputs must be initializers");
+      const Tensor& xq = init.at(nd.inputs[0]);
+      const Tensor& sc = init.at(nd.inputs[1]);
+      if (xq.dtype != 3 || xq.dims.size() != 2)
+        throw std::runtime_error(
+            "onnx: DequantizeLinear expects a 2-d int8 weight");
+      const Tensor* zp = nullptr;
+      if (nd.inputs.size() > 2 && !nd.inputs[2].empty())
+        zp = &init.at(nd.inputs[2]);
+      int64_t axis = nd.attr_i.count("axis") ? nd.attr_i.at("axis") : 1;
+      std::size_t rows = static_cast<std::size_t>(xq.dims[0]);
+      std::size_t cols = static_cast<std::size_t>(xq.dims[1]);
+      bool per_col = sc.data.size() > 1;
+      if (per_col && (axis != 1 || sc.data.size() != cols))
+        throw std::runtime_error(
+            "onnx: per-axis DequantizeLinear scale must match axis-1 dim");
+      Tensor out;
+      out.dims = xq.dims;
+      out.data.resize(rows * cols);
+      for (std::size_t i = 0; i < rows; ++i)
+        for (std::size_t j = 0; j < cols; ++j) {
+          float q = static_cast<float>(xq.i8[i * cols + j]);
+          if (zp)
+            q -= static_cast<float>(
+                zp->i8.empty() ? 0 : zp->i8[per_col ? j : 0]);
+          out.data[i * cols + j] = q * (per_col ? sc.data[j] : sc.data[0]);
+        }
+      init[nd.outputs[0]] = std::move(out);
+    }
+    nodes = std::move(kept);
   }
 
   static Node parse_node(Slice s) {
@@ -373,6 +429,7 @@ class Model {
   static std::string parse_tensor(Slice s, Tensor& t) {
     std::string name;
     int64_t dtype = 1;
+    Slice raw{nullptr, 0};
     walk(s, [&](uint32_t field, uint32_t wire, Slice v, uint64_t u) {
       if (field == 1 && wire == 0) {
         t.dims.push_back(static_cast<int64_t>(u));
@@ -396,12 +453,24 @@ class Model {
       } else if (field == 8 && wire == 2) {
         name = to_str(v);
       } else if (field == 9 && wire == 2) {
-        t.data.resize(v.n / 4);
-        std::memcpy(t.data.data(), v.p, t.data.size() * 4);
+        raw = v;  // dtype decides the element width below
       }
     });
-    if (dtype != 1)
-      throw std::runtime_error("onnx: only float32 tensors supported");
+    if (dtype == 1) {
+      if (raw.p) {
+        t.data.resize(raw.n / 4);
+        std::memcpy(t.data.data(), raw.p, t.data.size() * 4);
+      }
+    } else if (dtype == 3) {  // int8 (quantized weights)
+      if (!raw.p)
+        throw std::runtime_error("onnx: int8 tensor without raw_data");
+      t.i8.resize(raw.n);
+      std::memcpy(t.i8.data(), raw.p, raw.n);
+    } else {
+      throw std::runtime_error("onnx: unsupported tensor dtype " +
+                               std::to_string(dtype));
+    }
+    t.dtype = dtype;
     return name;
   }
 

@@ -19,23 +19,36 @@ from .native_format import save_sdfw
 from .onnx_export import save_as_onnx
 
 
-def save_for_native(out_dir: str, model, params, onnx: bool = True) -> dict:
+def save_for_native(
+    out_dir: str, model, params, onnx: bool = True, quantized: bool = True
+) -> dict:
     os.makedirs(out_dir, exist_ok=True)
     paths = {"sdfw": save_sdfw(os.path.join(out_dir, "model.sdfw"), model, params)}
     if onnx:
         paths["onnx"] = save_as_onnx(
             os.path.join(out_dir, "model.onnx"), model, params
         )
+        if quantized and hasattr(model, "skip_in"):
+            # the reference's quantize_save step (utils/
+            # inference_conversion.py:113-114): a small int8-weight ONNX
+            # artifact next to the f32 one
+            paths["onnx_quant"] = save_as_onnx(
+                os.path.join(out_dir, "model_quant.onnx"), model, params,
+                quantize=True,
+            )
         # structural (ORT-load-strictness) lint: a model.onnx that would be
         # rejected by Ort::Session must never leave the exporter
         from .onnx_lint import lint_onnx
 
-        problems = lint_onnx(paths["onnx"])
-        if problems:
-            raise RuntimeError(
-                "exported model.onnx failed the ORT-strictness lint:\n  "
-                + "\n  ".join(problems)
-            )
+        for key in ("onnx", "onnx_quant"):
+            if key not in paths:
+                continue
+            problems = lint_onnx(paths[key])
+            if problems:
+                raise RuntimeError(
+                    f"exported {os.path.basename(paths[key])} failed the "
+                    "ORT-strictness lint:\n  " + "\n  ".join(problems)
+                )
     return paths
 
 

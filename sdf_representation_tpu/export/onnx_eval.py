@@ -107,7 +107,7 @@ def _floats(entries) -> List[float]:
 
 
 # onnx TensorProto.DataType
-_DT_FLOAT, _DT_INT64, _DT_DOUBLE = 1, 7, 11
+_DT_FLOAT, _DT_INT8, _DT_UINT8, _DT_INT64, _DT_DOUBLE = 1, 3, 2, 7, 11
 
 
 def _parse_tensor(buf: bytes) -> Tuple[str, np.ndarray]:
@@ -117,7 +117,8 @@ def _parse_tensor(buf: bytes) -> Tuple[str, np.ndarray]:
     name = f[8][0][1].decode() if 8 in f else ""
     if 9 in f:  # raw_data: fixed-width little-endian, row-major
         raw = f[9][0][1]
-        np_dt = {_DT_FLOAT: "<f4", _DT_INT64: "<i8", _DT_DOUBLE: "<f8"}[dtype]
+        np_dt = {_DT_FLOAT: "<f4", _DT_INT8: "i1", _DT_UINT8: "u1",
+                 _DT_INT64: "<i8", _DT_DOUBLE: "<f8"}[dtype]
         arr = np.frombuffer(raw, dtype=np_dt)
     elif dtype == _DT_FLOAT and 4 in f:  # float_data
         arr = np.asarray(_floats(f[4]), np.float32)
@@ -238,6 +239,20 @@ def run_onnx(path: str, feeds: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
             y = np.concatenate(x, axis=int(attrs.get("axis", 0)))
         elif op == "Identity":
             y = x[0]
+        elif op == "DequantizeLinear":
+            # y = (x - zero_point) * scale; per-axis when scale is a vector
+            # (opset 13+; axis defaults to 1 per the spec)
+            xq = x[0].astype(np.float32)
+            scale = np.asarray(x[1], np.float32)
+            if len(x) > 2:
+                xq = xq - x[2].astype(np.float32)
+            if scale.ndim == 0 or scale.size == 1:
+                y = xq * scale
+            else:
+                axis = int(attrs.get("axis", 1))
+                shape = [1] * xq.ndim
+                shape[axis] = scale.size
+                y = xq * scale.reshape(shape)
         else:
             raise NotImplementedError(f"ONNX op {op!r} not supported")
         env[outs[0]] = np.asarray(y, np.float32)

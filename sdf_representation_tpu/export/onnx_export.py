@@ -29,6 +29,7 @@ from . import protobuf_min as pb
 
 # onnx TensorProto.DataType
 FLOAT = 1
+INT8 = 3
 
 # AttributeProto.AttributeType
 ATTR_FLOAT = 1
@@ -69,6 +70,15 @@ def _tensor(name: str, arr: np.ndarray) -> bytes:
     return payload
 
 
+def _tensor_int8(name: str, arr: np.ndarray) -> bytes:
+    arr = np.ascontiguousarray(arr, dtype=np.int8)
+    payload = b"".join(pb.f_varint(1, d) for d in arr.shape)
+    payload += pb.f_varint(2, INT8)
+    payload += pb.f_string(8, name)
+    payload += pb.f_bytes(9, arr.tobytes())  # raw_data
+    return payload
+
+
 def _value_info(name: str, shape) -> bytes:
     """shape entries: int -> dim_value, str -> dim_param (dynamic)."""
     dims = b""
@@ -82,13 +92,30 @@ def _value_info(name: str, shape) -> bytes:
     return pb.f_string(1, name) + pb.f_message(2, type_proto)
 
 
-def save_as_onnx(path: str, model, params, opset: int = 15) -> str:
-    """Write model.onnx for an ImplicitNet. Dynamic batch dimension."""
+def save_as_onnx(
+    path: str, model, params, opset: int = 15, quantize: bool = False
+) -> str:
+    """Write model.onnx for an ImplicitNet. Dynamic batch dimension.
+
+    quantize=True emits the weight-only int8 artifact the reference's
+    ``quantize_save`` produces via onnxruntime dynamic quantization
+    (reference utils/inference_conversion.py:113-114): each Gemm weight is
+    stored as an int8 initializer with per-output-channel scales and
+    dequantized in-graph by a DequantizeLinear node (axis=1, symmetric —
+    zero_point omitted = 0 per the ONNX spec); biases and all compute stay
+    float32, exactly ORT's dynamic-quant semantics. Scales come from
+    export/quantize.quantize_params — the same scheme as the .sdfw v2
+    container, so the two quantized artifacts are numerically identical."""
     params = model.export_params(params) if hasattr(model, "export_params") else params
     d_in = model.d_in
     beta = float(model.beta)
     n_lin = model.num_layers - 1
     inv_sqrt2 = 1.0 / math.sqrt(2.0)
+
+    if quantize:
+        from .quantize import quantize_params
+
+        qlayers = quantize_params(params)["layers"]
 
     graph = b""
     initializers = []
@@ -96,10 +123,18 @@ def save_as_onnx(path: str, model, params, opset: int = 15) -> str:
 
     x = "points"
     for l in range(n_lin):
-        w = np.asarray(params["layers"][l]["w"], np.float32)
         b = np.asarray(params["layers"][l]["b"], np.float32)
         wname, bname = f"W{l}", f"B{l}"
-        initializers.append(_tensor(wname, w))
+        if quantize:
+            initializers.append(_tensor_int8(f"Wq{l}", qlayers[l]["wq"]))
+            initializers.append(_tensor(f"WS{l}", qlayers[l]["scale"]))
+            nodes.append(
+                _node("DequantizeLinear", [f"Wq{l}", f"WS{l}"], [wname],
+                      f"dequant{l}", _attr_int("axis", 1))
+            )
+        else:
+            w = np.asarray(params["layers"][l]["w"], np.float32)
+            initializers.append(_tensor(wname, w))
         initializers.append(_tensor(bname, b))
 
         if l in model.skip_in:
@@ -163,3 +198,9 @@ def save_as_onnx(path: str, model, params, opset: int = 15) -> str:
     with open(path, "wb") as f:
         f.write(model_proto)
     return path
+
+
+def save_as_onnx_quantized(path: str, model, params, opset: int = 15) -> str:
+    """The reference's ``quantize_save`` equivalent: a small int8-weight
+    model.onnx for ORT-style consumers (see save_as_onnx(quantize=True))."""
+    return save_as_onnx(path, model, params, opset=opset, quantize=True)

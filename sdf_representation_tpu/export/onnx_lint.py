@@ -34,8 +34,9 @@ _G_OUTPUT = 12
 _G_VALUE_INFO = 13
 
 # TensorProto.DataType -> byte width (subset we can emit / ORT requires
-# consistent raw_data sizes for)
-_DTYPE_SIZE = {1: 4, 6: 4, 7: 8, 9: 1, 10: 2, 11: 8, 12: 4, 13: 8, 16: 2}
+# consistent raw_data sizes for; 2=uint8, 3=int8 for quantized weights)
+_DTYPE_SIZE = {1: 4, 2: 1, 3: 1, 6: 4, 7: 8, 9: 1, 10: 2, 11: 8, 12: 4,
+               13: 8, 16: 2}
 
 # Supported ir_version range: ONNX IR v3 (opset era) .. v10 (current).
 # ORT rejects models outside its known range with InvalidProtobuf.
@@ -50,6 +51,9 @@ _OPSET_MIN, _OPSET_MAX = 1, 21
 _OP_SINCE = {
     "Gemm": 1, "MatMul": 1, "Relu": 1, "Softplus": 1, "Tanh": 1,
     "Mul": 1, "Div": 1, "Add": 1, "Sub": 1, "Concat": 1, "Identity": 1,
+    # the exporter emits per-axis scales, an opset-13 extension (the op
+    # itself exists since 10) — ORT validates this at session-create
+    "DequantizeLinear": 13,
 }
 # ops whose required attributes ORT validates at session-create time
 _REQUIRED_ATTRS = {"Concat": ("axis",)}

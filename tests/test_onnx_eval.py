@@ -168,3 +168,44 @@ def test_multi_skip_export_single_shared_constant(tmp_path):
     ref = np.asarray(model.apply(params, jnp.asarray(pts)))
     got = run_onnx(path, {"points": pts})["sdf"].reshape(-1)
     np.testing.assert_allclose(got, ref, rtol=2e-6, atol=2e-6)
+
+
+def test_quantized_onnx_matches_dequantized_apply(tmp_path):
+    """The int8-weight model_quant.onnx (DequantizeLinear graph — the
+    reference's quantize_save artifact, utils/inference_conversion.py:113-114)
+    must reproduce apply() with DEQUANTIZED params to f32 eps (same scales,
+    so the graphs are numerically identical), and stay within the int8
+    quantization error of the f32 model."""
+    from sdf_representation_tpu.export.onnx_export import (
+        save_as_onnx_quantized)
+    from sdf_representation_tpu.export.quantize import (
+        dequantize_params, quantize_params)
+
+    model = ImplicitNet(d_in=3, hidden_dims=(64,) * 4, skip_in=(2,),
+                        beta=100.0)
+    params = model.init(jax.random.PRNGKey(0))
+    path = str(tmp_path / "model_quant.onnx")
+    save_as_onnx_quantized(path, model, params)
+    # the artifact must be substantially smaller than the f32 one
+    f32_path = str(tmp_path / "model.onnx")
+    save_as_onnx(f32_path, model, params)
+    import os
+    assert os.path.getsize(path) < 0.35 * os.path.getsize(f32_path)
+
+    nodes, inits, _, _ = load_model(path)
+    ops = [n[0] for n in nodes]
+    assert ops.count("DequantizeLinear") == 5  # one per linear layer
+    assert inits["Wq0"].dtype == np.int8
+
+    pts = np.random.default_rng(0).uniform(-1, 1, (257, 3)).astype(np.float32)
+    got = run_onnx(path, {"points": pts})["sdf"].reshape(-1)
+
+    deq = dequantize_params(quantize_params(model.export_params(params)
+                                            if hasattr(model, "export_params")
+                                            else params))
+    ref_q = np.asarray(model.apply(deq, jnp.asarray(pts)))
+    np.testing.assert_allclose(got, ref_q, rtol=2e-6, atol=2e-6)
+
+    # int8 tolerance vs the true f32 model: loose, but must be sane
+    ref = np.asarray(model.apply(params, jnp.asarray(pts)))
+    assert np.max(np.abs(got - ref)) < 0.05

@@ -247,3 +247,32 @@ def test_truncated_file(exported, tmp_path):
     with open(p, "wb") as fh:
         fh.write(data[: len(data) // 2])
     assert lint_onnx(p)  # any violation is acceptable; must not crash
+
+
+def test_quantized_export_is_lint_clean(tmp_path):
+    """The int8 DequantizeLinear graph must satisfy the same ORT-load
+    strictness as the f32 artifact (raw_data byte widths for int8, op
+    opset availability, SSA with the in-graph dequant outputs)."""
+    from sdf_representation_tpu.export.onnx_export import (
+        save_as_onnx_quantized)
+
+    model = ImplicitNet(d_in=3, hidden_dims=(16,) * 3, skip_in=(1,),
+                        beta=100.0)
+    params = model.init(jax.random.PRNGKey(0))
+    path = str(tmp_path / "model_quant.onnx")
+    save_as_onnx_quantized(path, model, params)
+    assert lint_onnx(path) == []
+
+
+def test_quantized_needs_opset_13(tmp_path):
+    """Per-axis DequantizeLinear is an opset-13 extension; a model that
+    declares opset 12 must be rejected, as ORT would."""
+    from sdf_representation_tpu.export.onnx_export import (
+        save_as_onnx_quantized)
+
+    model = ImplicitNet(d_in=3, hidden_dims=(8,) * 2, skip_in=(), beta=100.0)
+    params = model.init(jax.random.PRNGKey(1))
+    path = str(tmp_path / "model_quant12.onnx")
+    save_as_onnx_quantized(path, model, params, opset=12)
+    assert any("DequantizeLinear" in e and "opset" in e
+               for e in lint_onnx(path))

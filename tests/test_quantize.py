@@ -80,3 +80,31 @@ def test_cpp_reads_quantized(tmp_path, model_params, native_build):
     ref = np.loadtxt(fixtures["output"], delimiter=",")
     # int8 weights: close but not exact
     assert np.abs(got - ref).max() < 0.05
+
+
+def test_cpp_reads_quantized_onnx(tmp_path, model_params, native_build):  # noqa: F811
+    """deeptrace consumes model_quant.onnx: its load-time DequantizeLinear
+    folding must reproduce the Python-dequantized apply to f32 eps — the
+    quantized artifact is a first-class citizen of BOTH independent
+    consumers (reference contract: quantize_save feeds the same ORT
+    pipeline as model.onnx)."""
+    from sdf_representation_tpu.export.conversion import save_for_native
+
+    model, params = model_params
+    out = str(tmp_path)
+    paths = save_for_native(out, model, params, onnx=True, quantized=True)
+    assert os.path.basename(paths["onnx_quant"]) == "model_quant.onnx"
+
+    cfg = tmp_path / "config.txt"
+    cfg.write_text(
+        "refine_lvl_uni = 1\nrefine_lvl_bd = 3\n"
+        f'ModelFileName = "{paths["onnx_quant"]}"\nuseDeepLearning = true\n'
+    )
+    subprocess.run(
+        [os.path.join(native_build, "deeptrace"), str(cfg), out],
+        check=True, capture_output=True,
+    )
+    pts = np.loadtxt(os.path.join(out, "points.csv"), delimiter=",")
+    deq = dequantize_params(quantize_params(params))
+    ref = np.asarray(model.apply(deq, jnp.asarray(pts[:, :3], jnp.float32)))
+    np.testing.assert_allclose(pts[:, 3], ref, rtol=1e-4, atol=1e-5)
