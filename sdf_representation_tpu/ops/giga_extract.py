@@ -41,7 +41,11 @@ from .marching_device import (
     marching_tets_device,
     marching_tets_device_packed,
 )
-from .sparse_grid import coarse_and_certificate, refine_blocks
+from .sparse_grid import (
+    assemble_block_rows,
+    coarse_and_certificate,
+    refine_blocks,
+)
 
 _SLOT_DIRS = 7  # edge directions per lattice point in the tet decomposition
 
@@ -104,11 +108,7 @@ def _refine_slab(
     ids_local = jnp.where(valid, ids - xb0 * nb2, nxb * nb2)
     vol_blocked = jnp.broadcast_to(slab_coarse[:, None], (nxb * nb2, pts))
     vol_blocked = vol_blocked.at[ids_local].set(vals, mode="drop")
-    vol = (
-        vol_blocked.reshape(nxb, nb, nb, block, block, block)
-        .transpose(0, 3, 1, 4, 2, 5)
-        .reshape(nxb * block, n, n)
-    )
+    vol = assemble_block_rows(vol_blocked, nxb, nb, block, n)
     return vol, count
 
 

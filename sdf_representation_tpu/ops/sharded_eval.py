@@ -125,7 +125,7 @@ def _sparse_sharded_device(
     model, params, n, block, k_max, tile_blocks, safety, eps, mesh,
     compute_dtype, interpret, use_pallas, mxu_precision,
 ):
-    from .sparse_grid import _make_block_kernel, active_threshold
+    from .sparse_grid import _make_block_kernel, adaptive_threshold
 
     n_dev = mesh.devices.size
     nb = n // block
@@ -134,7 +134,6 @@ def _sparse_sharded_device(
     pts = block * block * block
     k_loc = k_max // n_dev
     s = 2.0 / (n - 1)
-    tau = active_threshold(n, block, safety, eps)
     half = (block - 1) / 2.0
 
     weights, spec, _ = prepare_fused_weights(model, params, compute_dtype)
@@ -161,6 +160,9 @@ def _sparse_sharded_device(
         )  # (nb3,) replicated
 
         # ---- 2. selection (identical on every device; cheap) -------------
+        # per-block margin scaled by the measured local Lipschitz constant
+        # (same rule as the single-device path — ops/sparse_grid.py)
+        tau = adaptive_threshold(coarse, n, block, safety, eps)
         mask = jnp.abs(coarse) <= tau
         count = jnp.sum(mask.astype(jnp.int32))
         (ids,) = jnp.nonzero(mask, size=k_max, fill_value=0)

@@ -12,12 +12,15 @@ refinement ON-DEVICE in two levels:
      grid).
   2. **Selection**: a tile can contain (or touch, through a marching cell
      shared with a neighbour) a zero crossing only if
-         |f(center)| <= L * s * sqrt(3) * (block + 1) / 2 + eps
-     where s = grid step and L = ``safety`` bounds the local Lipschitz
-     constant of the learned field (1 for a perfect SDF; eikonal-trained
-     nets are ~1). ``eps`` absorbs the bf16-kernel vs f32-coarse numeric
-     skew. Active tile ids come from jnp.nonzero with a STATIC bound
-     ``k_max`` so the whole pipeline is one jitted dispatch.
+         |f(center)| <= safety * max(1, L_est) * s * sqrt(3) * (block+1)/2 + eps
+     where s = grid step and L_est is the field's local Lipschitz constant
+     MEASURED from the coarse sweep's own neighbour differences (dilated one
+     block; see adaptive_threshold for the derivation). The unit floor keeps
+     SDF-like fields (L ~ 1) at the historical activity fraction; steep
+     fields (Siren omega_0=30 is ~30-Lipschitz) grow the margin with the
+     field instead of missing surface. ``eps`` absorbs the bf16-kernel vs
+     f32-coarse numeric skew. Active tile ids come from jnp.nonzero with a
+     STATIC bound ``k_max`` so the whole pipeline is one jitted dispatch.
   3. **Refinement**: a Pallas kernel (weights VMEM-resident, scalar-prefetched
      tile ids, coordinates synthesised in-kernel — zero coordinate HBM
      traffic) evaluates all 512 fine points of each active tile, bitwise
@@ -56,9 +59,68 @@ def active_threshold(n: int, block: int, safety: float, eps: float) -> float:
 
     A crossing inside a marching cell with ANY corner in this block lies
     within s*sqrt(3)*(block+1)/2 of the block center ((block-1)/2 half-width
-    + 1 step for boundary-straddling cells)."""
+    + 1 step for boundary-straddling cells). This is the unit-Lipschitz
+    floor; the selection additionally scales it by the field's MEASURED
+    local Lipschitz constant (adaptive_threshold below)."""
     s = 2.0 / (n - 1)
     return safety * s * math.sqrt(3.0) * (block + 1) / 2.0 + eps
+
+
+def adaptive_threshold(coarse, n: int, block: int, safety: float,
+                       eps: float):
+    """Per-block activity threshold tau_b, (nb^3,) float32 — the margin
+    DERIVATION (replaces the round-3 swept constant):
+
+    A block must be refined if the field can reach ``level`` anywhere a
+    marching cell touching the block samples it, i.e. within
+    r = s*sqrt(3)*(block+1)/2 of the block center. For a field with local
+    Lipschitz constant L around the block that region is reachable only
+    when |f(center) - level| <= L*r (+ eps for the bf16-refinement vs
+    f32-coarse numeric skew). The reference assumption L ~ 1 holds for an
+    eikonal/SDF-like field but NOT in general (Siren omega_0=30 fields are
+    ~30-Lipschitz), so L is ESTIMATED from the coarse sweep itself: for
+    every face-adjacent center pair, |f(a) - f(b)| / (block*s) lower-bounds
+    the Lipschitz constant on the segment between them; each block takes
+    the max over its own 6 faces and (one dilation step) its face
+    neighbours' faces, so a steep flank one block away still raises the
+    margin. tau_b = safety * max(1, L_est) * r + eps:
+
+      * SDF-like fields (L <= 1): identical selection to the historical
+        safety=1.5 constant — no activity-fraction regression;
+      * steep fields: the margin grows WITH the field, so the zero-crossing
+        shell is selected by construction instead of being caught after
+        the fact by the certificate (which remains as the backstop for
+        sub-block variation that center differences cannot see: an interior
+        dip steeper than every surrounding center difference).
+
+    ``safety`` multiplies the estimate because center differences
+    lower-bound L (a kink midway between centers halves the observed
+    slope; 1.5 covers curvature up to that geometric factor)."""
+    nb = n // block
+    s = 2.0 / (n - 1)
+    r = s * math.sqrt(3.0) * (block + 1) / 2.0
+    c3 = coarse.reshape(nb, nb, nb)
+    l3 = jnp.zeros((nb, nb, nb), jnp.float32)
+    inv = 1.0 / (block * s)
+    for ax in range(3):
+        d = jnp.abs(jnp.diff(c3, axis=ax)) * inv
+        pad_lo = [(0, 0)] * 3
+        pad_lo[ax] = (1, 0)
+        pad_hi = [(0, 0)] * 3
+        pad_hi[ax] = (0, 1)
+        l3 = jnp.maximum(l3, jnp.pad(d, pad_lo))
+        l3 = jnp.maximum(l3, jnp.pad(d, pad_hi))
+    # one face-neighbour dilation: steep flanks raise adjacent margins too
+    dil = l3
+    for ax in range(3):
+        lo = [slice(None)] * 3
+        hi = [slice(None)] * 3
+        lo[ax] = slice(None, -1)
+        hi[ax] = slice(1, None)
+        dil = dil.at[tuple(lo)].max(l3[tuple(hi)])
+        dil = dil.at[tuple(hi)].max(l3[tuple(lo)])
+    tau = safety * jnp.maximum(1.0, dil) * r + eps
+    return tau.reshape(-1)
 
 
 def _make_block_kernel(spec, beta, nb, block, step, tile_blocks, k_max,
@@ -125,7 +187,6 @@ def coarse_and_certificate(model, params, n, block, safety, eps,
     nb = n // block
     nb3 = nb * nb * nb
     s = 2.0 / (n - 1)
-    tau = active_threshold(n, block, safety, eps)
     flat = jnp.arange(nb3, dtype=jnp.int32)
     cz = flat % nb
     cy = (flat // nb) % nb
@@ -140,6 +201,7 @@ def coarse_and_certificate(model, params, n, block, safety, eps,
         axis=-1,
     )
     coarse = model.apply(params, centers).astype(jnp.float32)  # (nb3,)
+    tau = adaptive_threshold(coarse, n, block, safety, eps)
     mask = jnp.abs(coarse - level) <= tau
     return coarse, mask, certificate_violations(coarse, mask, nb, level)
 
@@ -201,6 +263,30 @@ def refine_blocks(model, params, ids, count, n, block, k_max, tile_blocks,
     return fine.reshape(k_max, pts)
 
 
+def assemble_block_rows(vol_blocked, nrows, nb, block, n):
+    """(nrows*nb^2, block^3) block-major values -> (nrows*block, n, n)
+    plane-major volume.
+
+    NOT a single whole-volume transpose: XLA materialises that as a 6-d
+    copy whose minor dim ``block``(=8) is lane-padded to 128 — a 16x
+    blowup that is 8.6 GB at 512^3 (fit, wastefully) and 19.9 GB at
+    1024^3-slab scale, a compile-time HBM OOM on the v5e (first-hardware
+    finding, round 5). One x-block-row per lax.map iteration bounds the
+    padded scratch at ~0.5 GB, reused across iterations."""
+    nb2 = nb * nb
+    pts = block * block * block
+    rows = vol_blocked.reshape(nrows, nb2, pts)
+
+    def one_row(row):
+        return (
+            row.reshape(nb, nb, block, block, block)
+            .transpose(2, 0, 3, 1, 4)
+            .reshape(block, n, n)
+        )
+
+    return jax.lax.map(one_row, rows).reshape(nrows * block, n, n)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("model", "n", "block", "k_max", "tile_blocks", "safety",
@@ -235,11 +321,7 @@ def _sparse_grid_device(
     ids_sc = jnp.where(valid, ids, nb3)
     vol_blocked = jnp.broadcast_to(coarse[:, None], (nb3, pts))
     vol_blocked = vol_blocked.at[ids_sc].set(vals, mode="drop")
-    vol = (
-        vol_blocked.reshape(nb, nb, nb, block, block, block)
-        .transpose(0, 3, 1, 4, 2, 5)
-        .reshape(n, n, n)
-    )
+    vol = assemble_block_rows(vol_blocked, nb, nb, block, n)
     return vol, count, viol
 
 
@@ -272,17 +354,20 @@ def sparse_grid_eval(
     budget (recompile) and finally falls back to dense when >50% of blocks
     are active.
 
-    The defaults safety=1.5 / eps=0.01 come from a round-3 sweep over the
-    shipped trained nets (mesh-exactness held at 1.5 and 1.25, failed at
-    1.0 — RESULTS.md). Because that margin is empirical, every call also
-    runs a runtime CERTIFICATE: two adjacent inactive blocks whose center
-    signs disagree prove a missed crossing (possible only when the field's
-    local Lipschitz exceeds ~1.95x ``safety``). ``on_violation`` picks the
-    response: "dense" (default) re-evaluates the whole grid densely —
-    exactness is restored at dense-eval cost — with a printed warning;
-    "error" raises ValueError; "warn" only prints. Role match: the octree
-    refinement correctness contract of reference
-    ops/DeepTrace/src/deeptrace.cpp:59-81.
+    The activity margin is ADAPTIVE: safety * max(1, L_est) per block,
+    where L_est is the local Lipschitz constant measured from the coarse
+    sweep's neighbour differences (adaptive_threshold documents the
+    derivation; safety=1.5 covers the center-difference underestimate).
+    SDF-like fields select exactly what the historical swept constant did;
+    steep fields are selected by construction. Every call ALSO runs a
+    runtime CERTIFICATE for the one case the estimate cannot see (a
+    sub-block interior dip steeper than every surrounding center
+    difference): two adjacent inactive blocks whose center signs disagree
+    prove a missed crossing. ``on_violation`` picks the response: "dense"
+    (default) re-evaluates the whole grid densely — exactness is restored
+    at dense-eval cost — with a printed warning; "error" raises
+    ValueError; "warn" only prints. Role match: the octree refinement
+    correctness contract of reference ops/DeepTrace/src/deeptrace.cpp:59-81.
     """
     if n % block:
         raise ValueError(f"n={n} must be divisible by block={block}")

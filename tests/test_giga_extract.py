@@ -197,25 +197,30 @@ def test_giga_multi_device_round_robin_identical():
     _assert_same_mesh(multi, ref)
 
 
-def test_giga_certificate_detects_lipschitz_violation():
+def test_giga_steep_field_exact_by_construction():
+    """The steep plane (L ~ 20) used to trip the certificate; the adaptive
+    per-block margin (ops/sparse_grid.adaptive_threshold) now selects its
+    crossing shell outright — giga extraction must equal marching the dense
+    volume with on_violation='error' (no fallback taken)."""
     from tests.test_sparse_grid import _steep_plane_params
 
     model = ImplicitNet(d_in=3, hidden_dims=(8,), skip_in=(), beta=100.0)
     params = _steep_plane_params(model)
-    with pytest.raises(ValueError, match="certificate"):
-        extract_mesh_giga(model, params, 32, slab=16,
-                          compute_dtype=jnp.float32, interpret=True)
-    # on_violation="dense": every block refines; the result equals marching
-    # the dense volume (exactness restored at dense cost, bounded memory)
     giga = extract_mesh_giga(
         model, params, 32, slab=16, compute_dtype=jnp.float32,
-        interpret=True, on_violation="dense", wire="exact",
+        interpret=True, on_violation="error", wire="exact",
     )
     vol = _dense_volume(model, params, 32)
     s = 2.0 / 31
     ref = marching_cubes_device(jnp.asarray(vol), 0.0, (s,) * 3,
                                 (-1.0,) * 3, wire="exact")
     _assert_same_mesh(giga, ref)
+    # on_violation="dense" (refine everything) must agree as well
+    giga_d = extract_mesh_giga(
+        model, params, 32, slab=16, compute_dtype=jnp.float32,
+        interpret=True, on_violation="dense", wire="exact",
+    )
+    _assert_same_mesh(giga_d, ref)
 
 
 def test_giga_validates_inputs():

@@ -156,9 +156,11 @@ def test_sparse_sharded_rejects_indivisible_block_grid(sdf_model_params):
         sparse_sharded_grid_eval(model, params, 24, get_mesh(2))
 
 
-def test_sharded_certificate_detects_lipschitz_violation():
-    """The sharded sparse path must run the same runtime certificate as the
-    single-device one (steep plane field -> detect, default -> exact)."""
+def test_sharded_steep_field_exact_by_construction():
+    """The sharded sparse path must apply the same adaptive per-block
+    margin as the single-device one: the steep plane (L ~ 20, which used to
+    trip the certificate) is selected outright — on_violation='error' does
+    not raise and the zero shell matches the dense sharded eval exactly."""
     import jax.numpy as jnp
 
     from sdf_representation_tpu.ops.sharded_eval import (
@@ -173,17 +175,16 @@ def test_sharded_certificate_detects_lipschitz_violation():
     mesh = get_mesh()
     model = ImplicitNet(d_in=3, hidden_dims=(8,), skip_in=(), beta=100.0)
     params = _steep_plane_params(model)
-    with pytest.raises(ValueError, match="certificate"):
-        sparse_sharded_grid_eval(
-            model, params, 64, mesh, compute_dtype=jnp.float32,
-            interpret=True, use_pallas=False, on_violation="error",
-        )
     vol = sparse_sharded_grid_eval(
         model, params, 64, mesh, compute_dtype=jnp.float32,
-        interpret=True, use_pallas=False,
+        interpret=True, use_pallas=False, on_violation="error",
     )
     ref = sharded_grid_eval(
         model, params, 64, mesh, compute_dtype=jnp.float32,
         interpret=True, use_pallas=False,
     )
-    np.testing.assert_array_equal(np.asarray(vol), np.asarray(ref))
+    vol = np.asarray(vol).reshape(-1)
+    ref = np.asarray(ref).reshape(-1)
+    shell = np.abs(ref) < 20.0 * (2.0 / 63) * 2
+    assert shell.any()
+    np.testing.assert_array_equal(vol[shell], ref[shell])
