@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _probe_accelerator(attempts=3, timeout_s=120, sleep_s=60):
+def _probe_accelerator(attempts=3, timeout_s=360, sleep_s=60):
     """True iff the accelerator backend can actually run a program.
 
     The axon TPU relay in this image can go down for hours (2026-08-17/18
@@ -271,16 +271,20 @@ def main():
 
     # Quick mode extrapolates the DENSE kernel cubically (sparse time scales
     # ~n^2 with a fixed margin floor, so extrapolating it would be wrong).
-    # Degraded (CPU-fallback) mode only has the XLA path to extrapolate.
+    # Degraded (CPU-fallback) mode reports value=null: a CPU smoke run is
+    # NOT a point in the TPU metric series, and a cubic extrapolation of it
+    # would pollute BENCH_r* comparability (judge finding, round 4). The
+    # real CPU measurement still ships in extras as cpu_smoke_xla_s.
     if degraded:
-        t_at_512 = t_xla * (512 / n) ** 3
+        t_at_512 = None
     else:
         t_at_512 = t_sparse if not quick else t_fused * (512 / n) ** 3
     result = {
         "metric": "sdf_grid_512_eval_seconds",
-        "value": round(t_at_512, 4),
+        "value": None if t_at_512 is None else round(t_at_512, 4),
         "unit": "s",
-        "vs_baseline": round(2.0 / t_at_512, 3),
+        "vs_baseline": (None if t_at_512 is None
+                        else round(2.0 / t_at_512, 3)),
         "extras": {
             "grid_n": n,
             "grid_eval_sparse_s": None if degraded else round(t_sparse, 4),
@@ -328,9 +332,12 @@ def main():
     if degraded:
         result["extras"]["relay_outage"] = True
         result["extras"]["backend"] = "cpu-fallback"
+        result["extras"]["cpu_smoke_xla_s"] = round(t_xla, 4)
+        result["extras"]["cpu_smoke_grid_n"] = n
         result["extras"]["note"] = (
-            "accelerator backend unreachable after retries; measured on "
-            "CPU at smoke sizes — NOT comparable to the TPU baseline"
+            "accelerator backend unreachable after retries; headline value "
+            "withheld (null) — CPU smoke measurements live in "
+            "cpu_smoke_* extras and are NOT comparable to the TPU series"
         )
     print(json.dumps(result))
 
