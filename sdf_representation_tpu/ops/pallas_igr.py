@@ -235,6 +235,21 @@ def _fused_vag_fwd(model, params, x_pad, tile_p, compute_dtype, interpret):
 # ---------------------------------------------------------------------------
 
 def _make_bwd_kernel(spec, beta, tile_p, compute_dtype):
+    """STACKED backward: the primal chain (h) and the c-tangent chain (tc)
+    ride as one (2*tile_p, .) array [h; tc], and so do their cotangents
+    [dz; dtcz]. Each layer then costs THREE double-height MXU passes
+    instead of six single-height ones (remat Z=[h;tc]@W, accumulate
+    dW = [h;tc]^T @ [dz;dtcz] — the stacked contraction IS the sum of the
+    two outer-product terms — and propagate [dh;dtc] = [dz;dtcz] @ W^T):
+    identical FLOPs, half the per-pass MXU staging overhead (measured
+    3.87 -> see RESULTS.md on the v5e at tile 256 -> 512-row passes).
+
+    The stash is the POST-activation stack [act(z); tcz*s] — exactly the
+    dW operand — and sigma is recovered from the stashed activation value
+    itself via s = sigmoid(beta z) = 1 - exp(-beta*softplus(beta z)/beta
+    * beta) = 1 - exp(-beta h) (one transcendental, vs act+sigmoid from a
+    z stash). The ds chain term keeps the round-4 rewrite
+    (dtc . Tcz) beta s (1-s) == (dtc . tc) beta (1-s)."""
     inv_sqrt2 = 1.0 / math.sqrt(2.0)
     n_lin = len(spec)
 
@@ -242,50 +257,47 @@ def _make_bwd_kernel(spec, beta, tile_p, compute_dtype):
         n_wb = sum(3 if k == "skip" else 2 for k, _ in spec)
         w_refs = args[:n_wb]
         acc_refs = args[n_wb : 2 * n_wb]
-        # hidden-layer stashes are (tile_p, h_pad); the last layer's pre-acts
-        # are (tile_p, LANE) and only needed for the tanh head. tc is the
-        # POST-activation tangent (Tcz*s): the ds chain term rewrites as
-        # (dtc . Tcz) beta s (1-s) == (dtc . tc) beta (1-s), so stashing tc
-        # serves both the dW operand and the activation conversion.
-        z_st, tc_st, last_st = (
-            args[2 * n_wb], args[2 * n_wb + 1], args[2 * n_wb + 2]
-        )
+        # h_st[l]: (2*tile_p, h_pad) stacked [act(z); tcz*s] per hidden
+        # layer; last_st: stacked last-layer (z, Tcz), tanh head only.
+        h_st, last_st = args[2 * n_wb], args[2 * n_wb + 1]
 
         first = pl.program_id(0) == 0
         col = jax.lax.broadcasted_iota(jnp.int32, (tile_p, LANE), 1)
         x_pad = x_ref[:].astype(compute_dtype)  # cols 0..2 = x
         c_pad = c_ref[:].astype(compute_dtype)  # cols 0..2 = c
+        xs = jnp.concatenate([x_pad, c_pad], axis=0)  # (2T, LANE)
         a_mat = jnp.where(col == 0, a_ref[:].astype(F32), 0.0)
 
-        # ---- remat: primal + c-tangent chains (separate arrays) -----------
-        h, tc = x_pad, c_pad
+        # ---- remat: stacked primal + c-tangent chain -----------------------
+        hs = xs
         ri = 0
         for l, (kind, _) in enumerate(spec):
             if kind == "skip":
                 w_top, w_bot, b = w_refs[ri], w_refs[ri + 1], w_refs[ri + 2]
                 ri += 3
-                z = (
-                    jnp.dot(h, w_top[:], preferred_element_type=F32)
-                    + jnp.dot(x_pad, w_bot[:], preferred_element_type=F32)
-                ) * inv_sqrt2 + b[:]
-                tcz = (
-                    jnp.dot(tc, w_top[:], preferred_element_type=F32)
-                    + jnp.dot(c_pad, w_bot[:], preferred_element_type=F32)
+                zs = (
+                    jnp.dot(hs, w_top[:], preferred_element_type=F32)
+                    + jnp.dot(xs, w_bot[:], preferred_element_type=F32)
                 ) * inv_sqrt2
             else:
                 w, b = w_refs[ri], w_refs[ri + 1]
                 ri += 2
-                z = jnp.dot(h, w[:], preferred_element_type=F32) + b[:]
-                tcz = jnp.dot(tc, w[:], preferred_element_type=F32)
+                zs = jnp.dot(hs, w[:], preferred_element_type=F32)
             if l < n_lin - 1:
-                z_st[l] = z.astype(compute_dtype)
+                # bias belongs to the primal half only
+                z = zs[:tile_p] + b[:]
+                tcz = zs[tile_p:]
                 s = _sigma(z, beta)
-                h = _act(z, beta).astype(compute_dtype)
-                tc = (tcz * s).astype(compute_dtype)
-                tc_st[l] = tc
+                hs = jnp.concatenate(
+                    [_act(z, beta), tcz * s], axis=0
+                ).astype(compute_dtype)
+                h_st[l] = hs
             elif beta <= 0:
-                last_st[0] = z.astype(compute_dtype)
-                last_st[1] = tcz.astype(compute_dtype)
+                last_st[0] = (
+                    zs + jnp.concatenate(
+                        [jnp.broadcast_to(b[:], (tile_p, LANE)),
+                         jnp.zeros((tile_p, LANE), F32)], axis=0)
+                ).astype(compute_dtype)
 
         # ---- seeds on the last layer's (z, Tcz) --------------------------
         e0 = jnp.where(col == 0, 1.0, 0.0)
@@ -293,27 +305,22 @@ def _make_bwd_kernel(spec, beta, tile_p, compute_dtype):
             dz = a_mat
             dtcz = e0
         else:  # tanh head: f = tanh(z), g = Tcz * (1 - f^2)
-            t = jnp.tanh(last_st[0].astype(F32))
+            zl = last_st[0]
+            t = jnp.tanh(zl[:tile_p].astype(F32))
             fp = 1.0 - t * t
-            tcz_l = last_st[1].astype(F32)
+            tcz_l = zl[tile_p:].astype(F32)
             dz = jnp.where(col == 0, a_mat * fp - 2.0 * t * fp * tcz_l, 0.0)
             dtcz = jnp.where(col == 0, fp, 0.0)
+        dzs = jnp.concatenate([dz, dtcz], axis=0)  # (2T, LANE)
 
         # ---- reverse sweep -------------------------------------------------
         rev_w = n_wb
         rev_a = n_wb
         for l in range(n_lin - 1, -1, -1):
             kind = spec[l][0]
-            if l == 0:
-                h_prev, tc_prev = x_pad, c_pad
-                s_prev = None
-            else:
-                s_prev = _sigma(z_st[l - 1], beta)
-                h_prev = _act(z_st[l - 1], beta).astype(compute_dtype)
-                tc_prev = tc_st[l - 1]
-            dz_c = dz.astype(compute_dtype)
-            dtcz_c = dtcz.astype(compute_dtype)
-            db = jnp.sum(dz, axis=0, keepdims=True)
+            hs_prev = xs if l == 0 else h_st[l - 1][:]
+            dzs_c = dzs.astype(compute_dtype)
+            db = jnp.sum(dzs[:tile_p], axis=0, keepdims=True)
 
             if kind == "skip":
                 w_top = w_refs[rev_w - 3]
@@ -322,8 +329,8 @@ def _make_bwd_kernel(spec, beta, tile_p, compute_dtype):
                     acc_refs[rev_a - 3], acc_refs[rev_a - 2], acc_refs[rev_a - 1]
                 )
                 rev_a -= 3
-                dwt = (_dot_TN(h_prev, dz_c) + _dot_TN(tc_prev, dtcz_c)) * inv_sqrt2
-                dwb = (_dot_TN(x_pad, dz_c) + _dot_TN(c_pad, dtcz_c)) * inv_sqrt2
+                dwt = _dot_TN(hs_prev, dzs_c) * inv_sqrt2
+                dwb = _dot_TN(xs, dzs_c) * inv_sqrt2
 
                 @pl.when(first)
                 def _():
@@ -338,14 +345,13 @@ def _make_bwd_kernel(spec, beta, tile_p, compute_dtype):
                     db_ref[:] = db_ref[:] + db
 
                 if l > 0:
-                    dh = _dot_NT(dz_c, w_top[:]) * inv_sqrt2
-                    dtc = _dot_NT(dtcz_c, w_top[:]) * inv_sqrt2
+                    dhs = _dot_NT(dzs_c, w_top[:]) * inv_sqrt2
             else:
                 w = w_refs[rev_w - 2]
                 rev_w -= 2
                 dw_ref, db_ref = acc_refs[rev_a - 2], acc_refs[rev_a - 1]
                 rev_a -= 2
-                dw = _dot_TN(h_prev, dz_c) + _dot_TN(tc_prev, dtcz_c)
+                dw = _dot_TN(hs_prev, dzs_c)
 
                 @pl.when(first)
                 def _():
@@ -358,19 +364,23 @@ def _make_bwd_kernel(spec, beta, tile_p, compute_dtype):
                     db_ref[:] = db_ref[:] + db
 
                 if l > 0:
-                    dh = _dot_NT(dz_c, w[:])
-                    dtc = _dot_NT(dtcz_c, w[:])
+                    dhs = _dot_NT(dzs_c, w[:])
 
             if l > 0:
-                s = s_prev
-                dtcz = dtc * s
+                hp = h_st[l - 1][:]
+                h_prev = hp[:tile_p].astype(F32)
+                tc_prev = hp[tile_p:].astype(F32)
+                dh = dhs[:tile_p]
+                dtc = dhs[tile_p:]
                 if beta > 0:
+                    # s = sigmoid(beta z) == 1 - exp(-beta * act(z))
+                    s = 1.0 - jnp.exp(jnp.float32(-beta) * h_prev)
                     # (dtc . Tcz) beta s (1-s) == (dtc . tc) beta (1-s)
-                    dz = dh * s + (dtc * tc_prev.astype(F32)) * (
-                        beta * (1.0 - s)
-                    )
+                    dz = dh * s + (dtc * tc_prev) * (beta * (1.0 - s))
                 else:
+                    s = (h_prev > 0).astype(F32)
                     dz = dh * s  # step'(z) = 0 a.e.
+                dzs = jnp.concatenate([dz, dtc * s], axis=0)
 
     return kernel
 
@@ -406,9 +416,11 @@ def _fused_vag_bwd(model, params, x_pad, a_pad, c_pad, tile_p, compute_dtype,
         out_specs=acc_specs,
         out_shape=acc_shapes,
         scratch_shapes=[
-            pltpu.VMEM((n_lin - 1, tile_p, h_pad), compute_dtype),  # hidden z
-            pltpu.VMEM((n_lin - 1, tile_p, h_pad), compute_dtype),  # hidden tc
-            pltpu.VMEM((2, tile_p, LANE), compute_dtype),  # last z/Tcz (tanh)
+            # stacked [act(z); tcz*s] per hidden layer — the dW operand
+            pltpu.VMEM(
+                (max(n_lin - 1, 1), 2 * tile_p, h_pad), compute_dtype
+            ),
+            pltpu.VMEM((1, 2 * tile_p, LANE), compute_dtype),  # last (z,Tcz)
         ],
         interpret=interpret,
     )(x_pad, a_pad, c_pad, *weights)
