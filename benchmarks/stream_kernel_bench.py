@@ -67,11 +67,16 @@ float(jax.device_get(jnp.sum(wx)))
 twx = time.time() - t0
 print(f"xla wind steady: {twx:.2f}s -> pallas speedup {twx/twp:.2f}x", flush=True)
 
-# parity on device results
+# parity on device results. NOTE: winner ties and relative SQUARED-distance
+# error near d2 -> 0 are both expected f32 noise; the meaningful contract is
+# DISTANCE-space absolute error (feeds the upper bound) and the winding sign
+# margin (2*pi quantum).
 bp = np.asarray(bestp)[:B]; bx = np.asarray(bestx)[:B]
 mis = np.mean(bp != bx)
 d2p_h = np.asarray(d2p)[:B]; d2x_h = np.asarray(d2x)[:B]
-print(f"winner mismatch frac: {mis:.2e}; max d2 rel err: "
-      f"{np.nanmax(np.abs(d2p_h - d2x_h)/np.maximum(d2x_h, 1e-12)):.2e}", flush=True)
+derr = np.nanmax(np.abs(np.sqrt(np.maximum(d2p_h, 0))
+                        - np.sqrt(np.maximum(d2x_h, 0))))
+print(f"winner mismatch frac: {mis:.2e} (ties); max |dist| err: "
+      f"{derr:.2e} (mesh scale 1.2)", flush=True)
 werr = np.abs(np.asarray(wp)[:B] - np.asarray(wx)[:B]).max()
 print(f"wind max abs err: {werr:.2e} (sign margin 2pi)", flush=True)

@@ -315,16 +315,30 @@ def _wind_kernel(sb_ref, sc_ref, p_ref, inw_ref, tab_ref, outw_ref,
         px = p_ref[0, 0:1, ms]
         py = p_ref[0, 1:2, ms]
         pz = p_ref[0, 2:3, ms]
+        p3 = p_ref[0, 0:3, ms]  # (3, M_SUB) — MXU operand for the dots
         p2 = px * px + py * py + pz * pz  # (1, M_SUB)
 
         def strip(j, acc):
             t0 = j * _T_SUB
             tt = tab_ref[0, pl.dslice(t0, _T_SUB), :]  # (T_SUB, ROWS)
             col = lambda r: jax.lax.slice(tt, (0, r), (_T_SUB, r + 1))
-            pv0 = col(_W_V0) * px + col(_W_V0 + 1) * py + col(_W_V0 + 2) * pz
-            pv1 = col(_W_V1) * px + col(_W_V1 + 1) * py + col(_W_V1 + 2) * pz
-            pv2 = col(_W_V2) * px + col(_W_V2 + 1) * py + col(_W_V2 + 2) * pz
-            pk = col(_W_K) * px + col(_W_K + 1) * py + col(_W_K + 2) * pz
+            # the 4 per-pair dot products ride the MXU ((T_SUB,3)@(3,M),
+            # idle otherwise), freeing ~20 VPU issue slots per pair-tile in
+            # a kernel that is VPU-ISSUE-bound (~100 vector ops/tile, not
+            # bandwidth — ~130 KB DMA per 165 us step). HIGHEST precision:
+            # a default-precision MXU pass rounds operands to bfloat16,
+            # which this module's layout was specifically built to avoid
+            # (see module docstring); the 3-pass f32 form keeps winding
+            # sums exact and its MXU time is noise next to the VPU work.
+            mm = lambda a: jax.lax.dot_general(
+                a, p3, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=F32,
+            )  # (T_SUB, M_SUB)
+            pv0 = mm(jax.lax.slice(tt, (0, _W_V0), (_T_SUB, _W_V0 + 3)))
+            pv1 = mm(jax.lax.slice(tt, (0, _W_V1), (_T_SUB, _W_V1 + 3)))
+            pv2 = mm(jax.lax.slice(tt, (0, _W_V2), (_T_SUB, _W_V2 + 3)))
+            pk = mm(jax.lax.slice(tt, (0, _W_K), (_T_SUB, _W_K + 3)))
             la = jnp.sqrt(jnp.maximum(col(_W_N00) - 2.0 * pv0 + p2, 1e-30))
             lb = jnp.sqrt(jnp.maximum(col(_W_N11) - 2.0 * pv1 + p2, 1e-30))
             lc = jnp.sqrt(jnp.maximum(col(_W_N22) - 2.0 * pv2 + p2, 1e-30))

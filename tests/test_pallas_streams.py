@@ -84,8 +84,13 @@ def test_wind_stream_parity(slab):
     got_w = wind_stream_pallas(
         P_blocks, sb, sc, tables_np, tri_chunk, slab=slab, interpret=True
     )
+    # atol: the kernel's MXU dots (f32 3-pass) accumulate in a different
+    # order than the XLA stream's mul/add chain; near plane-degenerate
+    # (numer ~ 0) pairs the atan2 amplifies that last-ulp skew to ~3e-4.
+    # The winding contract is SIGN at a 2*pi quantum margin — 1e-3 is four
+    # orders below it.
     np.testing.assert_allclose(
-        np.asarray(got_w)[:B], np.asarray(ref_w)[:B], rtol=1e-4, atol=2e-4
+        np.asarray(got_w)[:B], np.asarray(ref_w)[:B], rtol=1e-4, atol=1e-3
     )
 
 
