@@ -84,10 +84,23 @@ def load_reference_checkpoint(path: str, map_key: Optional[str] = None):
     Returns (params, epoch). CUDA-tensor storages load onto CPU (the role of
     the reference's CPU_Unpickler, utils/pickling.py:7-11, is played by
     torch.load(map_location="cpu")).
+
+    Format note: the reference writes model_epoch{E}.pkl with torch.save
+    (zip archive) but best_model.pkl with PLAIN pickle.dump
+    (executor.py:248-257) — its own loader uses pickle.load/CPU_Unpickler
+    (executor.py:261-267). torch.load rejects the plain-pickle form
+    ("invalid magic number"), so fall back to pickle.load for it
+    (caught live by the round-5 head-to-head run).
     """
+    import pickle
+
     import torch
 
-    blob = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        blob = torch.load(path, map_location="cpu", weights_only=False)
+    except (RuntimeError, pickle.UnpicklingError):
+        with open(path, "rb") as fh:
+            blob = pickle.load(fh)
     if isinstance(blob, dict) and not any(
         hasattr(v, "detach") for v in blob.values()
     ):

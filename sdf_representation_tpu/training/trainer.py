@@ -117,10 +117,24 @@ def make_train_step(
 
     matmul_precision:
       None        — XLA default (f32 everywhere)
-      "bfloat16"  — mixed precision: f32 master weights/optimizer state, the
-                    forward/backward runs with bf16 params+activations
-                    (halves HBM activation traffic, single-pass MXU; the loss
-                    itself is computed in f32). ~1.4x step throughput.
+      "bfloat16"  — FULL mixed precision: f32 master weights/optimizer
+                    state, the forward/backward runs with bf16
+                    params+activations (halves HBM activation traffic,
+                    single-pass MXU; the loss itself is computed in f32).
+                    ~1.4x step throughput. CAVEAT (measured, round-5
+                    head-to-head): the ~1e-2 bf16 forward noise through the
+                    8x512 flagship can trap the DeepSDF clamp-family losses
+                    (delta=0.1 band) in their zero-gradient region at
+                    lr>=1e-4 — training plateaus at the all-clipped loss
+                    (~9.4e-3 on the torus) while f32 escapes at epoch ~4.
+                    Use for the eikonal/IGR family, or with
+                    "bfloat16_mxu" below for clamp losses.
+      "bfloat16_mxu" — f32 params/activations, bf16 MXU passes only
+                    (jax.default_matmul_precision("bfloat16")): per-op
+                    rounding instead of stored-activation rounding keeps
+                    the forward noise ~1e-3 and escapes the clamp trap
+                    (verified on the head-to-head torus run) at most of
+                    the mixed-precision matmul speedup.
       other       — passed to jax.default_matmul_precision.
 
     pallas_igr: use the fused Pallas custom-VJP kernels for the eikonal
@@ -172,7 +186,9 @@ def make_train_step(
             return jax.value_and_grad(objective)(trainable)
 
         if matmul_precision is not None and not mixed:
-            with jax.default_matmul_precision(matmul_precision):
+            prec = ("bfloat16" if matmul_precision == "bfloat16_mxu"
+                    else matmul_precision)
+            with jax.default_matmul_precision(prec):
                 loss_val, grads = run()
         else:
             loss_val, grads = run()

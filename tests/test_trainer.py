@@ -98,6 +98,22 @@ def test_training_reduces_loss(tmp_path):
     assert os.path.exists(os.path.join(trainer.model_save_path, "best_model.ckpt"))
 
 
+def test_bfloat16_mxu_precision_mode(tmp_path, capsys):
+    """train_matmul_precision=bfloat16_mxu: f32 params/activations with bf16
+    MXU passes (jax.default_matmul_precision) — the clamp-loss-safe mixed
+    mode (round 5; the full-cast "bfloat16" mode's ~1e-2 forward noise traps
+    clamp losses in their zero-gradient region, see make_train_step)."""
+    cfg = tiny_config(tmp_path)
+    cfg.train_matmul_precision = "bfloat16_mxu"
+    trainer = Trainer(cfg)
+    result = trainer.train(dataset=sphere_dataset())
+    assert result["train_losses"][-1] < result["train_losses"][0] * 0.5
+    # master weights stayed f32 (no full-cast)
+    trainable, _ = trainer.load_model(best=True)
+    leaf = jax.tree_util.tree_leaves(trainable["params"])[0]
+    assert leaf.dtype == np.float32
+
+
 def test_resume_restores_optimizer_state(tmp_path):
     """Regression for the reference bug (executor.py:160): optimizer moments
     must survive a resume."""
