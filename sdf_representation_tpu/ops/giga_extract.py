@@ -122,12 +122,18 @@ def _slab_plan(n: int, slab: int):
     return plan
 
 
-def default_slab(n: int, block: int = 8) -> int:
+def default_slab(n: int, block: int = 8, n_devices: int = 1) -> int:
     """Largest block-aligned slab whose plane count fits the int32 slot
-    space (with one plane of overlap)."""
+    space (with one plane of overlap). With n_devices > 1, shrink
+    (block-aligned) until every device owns >= 1 slab — the slot-limited
+    slab can yield fewer slabs than devices (1024^3 -> 4 slabs), idling
+    chips; the merged mesh is identical for any slab size (seam-exact)."""
     max_planes = (2**31 - 1) // (_SLOT_DIRS * n * n)
     slab = max(block, ((max_planes - 1) // block) * block)
-    return min(slab, ((n - 1 + block - 1) // block) * block)
+    slab = min(slab, ((n - 1 + block - 1) // block) * block)
+    while slab > block and len(_slab_plan(n, slab)) < n_devices:
+        slab = max(block, slab - block * max(1, (slab // block) // 4))
+    return slab
 
 
 def extract_mesh_giga(
@@ -183,7 +189,9 @@ def extract_mesh_giga(
     if n % block:
         raise ValueError(f"n={n} must be divisible by block={block}")
     if slab is None:
-        slab = default_slab(n, block)
+        slab = default_slab(
+            n, block, 1 if devices is None else len(devices)
+        )
     if slab % block:
         raise ValueError(f"slab={slab} must be divisible by block={block}")
     if (slab + 1) * n * n * _SLOT_DIRS >= 2**31:

@@ -197,6 +197,25 @@ def test_giga_multi_device_round_robin_identical():
     _assert_same_mesh(multi, ref)
 
 
+def test_default_slab_device_aware():
+    """default_slab must never leave a device without a slab: the int32
+    slot space alone yields only 4 slabs at 1024^3, idling half a v5e-8 —
+    with n_devices it shrinks (block-aligned) until every device owns one.
+    Single-device behavior is unchanged."""
+    from sdf_representation_tpu.ops.giga_extract import (
+        _slab_plan, default_slab)
+
+    assert default_slab(1024) == default_slab(1024, n_devices=1)
+    for n in (512, 1024):
+        for nd in (2, 4, 8):
+            slab = default_slab(n, n_devices=nd)
+            plan = _slab_plan(n, slab)
+            assert len(plan) >= min(nd, n // 8), (n, nd, slab, len(plan))
+            assert slab % 8 == 0
+            # still within the int32 slot space
+            assert (slab + 1) * n * n * 7 < 2**31
+
+
 def test_giga_steep_field_exact_by_construction():
     """The steep plane (L ~ 20) used to trip the certificate; the adaptive
     per-block margin (ops/sparse_grid.adaptive_threshold) now selects its
