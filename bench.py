@@ -128,6 +128,30 @@ def main():
     # device numbers the target is about.
     from sdf_representation_tpu.ops import marching_device as md
 
+    # the C++ topology decoder (native/src/wire_decode.cpp) is what
+    # production runs — build it if this checkout hasn't yet (non-fatal;
+    # the numpy fallback is identical, just single-core-slow at 512^3+)
+    repo = os.path.dirname(os.path.abspath(__file__))
+    if not os.path.exists(os.path.join(repo, "build", "libsdfnet_c.so")):
+        import shutil
+        import subprocess
+
+        if shutil.which("cmake") is not None:
+            try:
+                subprocess.run(
+                    ["cmake", "-S", os.path.join(repo, "native"), "-B",
+                     os.path.join(repo, "build")],
+                    check=True, capture_output=True, timeout=300,
+                )
+                subprocess.run(
+                    ["cmake", "--build", os.path.join(repo, "build"),
+                     "--target", "sdfnet_c", "-j", "4"],
+                    check=True, capture_output=True, timeout=600,
+                )
+            except Exception as exc:  # build trouble != bench failure
+                print(f"# native wire decoder build skipped: {exc}",
+                      flush=True)
+
     def _field(p):
         if degraded:
             return _eval_grid_device(p, model.apply, n, 262144, jnp.float32)
@@ -310,6 +334,9 @@ def main():
             "extract_total_s": round(extract_total_s, 4),
             "extract_fetch_s": round(t_fetch, 4),
             "extract_decode_s": round(t_decode, 4),
+            "extract_wire_decoder": (
+                "native" if md._get_wire_lib() is not None else "numpy"
+            ),
             "extract_wire_mb": round(wire_mb, 2),
             "extract_wire_mbps": round(wire_mb / max(t_fetch, 1e-9), 1),
             "extract_verts": cv,

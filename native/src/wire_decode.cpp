@@ -1,0 +1,264 @@
+// Host-side decoder for the packed marching-tetrahedra wire.
+//
+// The TPU extractor (sdf_representation_tpu/ops/marching_device.py) ships
+// ONLY per-live-block sign bits (729 halo bits in 23 uint32 words), u16
+// edge parameters, and block ids; every vertex id and face index is a pure
+// function of the sign bits. The reference fetches full host volumes and
+// runs skimage marching_cubes (reference executor/executor.py:388); here
+// the topology rebuild is the single host-side stage of the field->mesh
+// path, and the vectorized-numpy version of it dominated end-to-end
+// wall-clock on the single-core relay host (~73 s at 512^3 vs ~1 s of
+// device work, measured round 5). This C++ pass rebuilds the identical
+// topology in two cache-friendly sweeps.
+//
+// Parity contract: bit-for-bit the same arithmetic as
+// decode_packed_wire() (marching_device.py:666) — the caller passes in the
+// SAME direction/corner/tet/case tables the Python path uses, so the two
+// decoders cannot drift. Vertex order is (block row, core, ascending
+// direction); face order is (block row, core, tet, k); both match numpy's
+// flatnonzero enumeration, so outputs are np.array_equal, not just
+// set-equal.
+//
+// ABI (no C++ types cross the boundary):
+//   h = sdfnet_wire_decode(words, L, words_per_block, bids, nx, ny, nz,
+//                          dirs, corners, tets, ntris, ptbl,
+//                          &v_count, &t_count)   NULL on failure
+//   sdfnet_wire_fetch(h, vslots /* v_count int64 */,
+//                        faces  /* t_count x 3 int64, flip-applied */)
+//   sdfnet_wire_free(h)
+//   sdfnet_wire_last_error()
+
+#include <cstdint>
+#include <cstring>
+#include <memory>
+#include <string>
+#include <vector>
+
+namespace {
+
+constexpr int kB = 8;             // core block edge (points)
+constexpr int kH = kB + 1;        // halo region edge
+constexpr int kHalo = kH * kH * kH;  // 729 sign bits per block
+constexpr int kCores = kB * kB * kB; // 512 cores per block
+
+thread_local std::string g_wire_err;
+
+struct WireDecoded {
+  std::vector<std::int64_t> vslots;
+  std::vector<std::int64_t> faces;  // flattened (T, 3)
+};
+
+inline int halo_bit(const std::uint32_t* w, int k) {
+  return (w[k >> 5] >> (k & 31)) & 1u;
+}
+
+}  // namespace
+
+extern "C" {
+
+const char* sdfnet_wire_last_error() { return g_wire_err.c_str(); }
+
+void* sdfnet_wire_decode(
+    const std::uint32_t* words, std::int64_t L, std::int32_t words_per_block,
+    const std::int64_t* bids, std::int64_t nx, std::int64_t ny,
+    std::int64_t nz, const std::int32_t* dirs /* (7,3) */,
+    const std::int32_t* corners /* (8,3) */, const std::int32_t* tets
+    /* (6,4) */, const std::int32_t* ntris /* (16,) */,
+    const std::int32_t* ptbl /* (192,) */, std::int64_t* v_count,
+    std::int64_t* t_count) {
+  g_wire_err.clear();
+  try {
+    if (words_per_block * 32 < kHalo) {
+      g_wire_err = "sdfnet_wire_decode: words_per_block too small";
+      return nullptr;
+    }
+    const std::int64_t nbx = (nx + kB - 1) / kB;
+    const std::int64_t nby = (ny + kB - 1) / kB;
+    const std::int64_t nbz = (nz + kB - 1) / kB;
+    const std::int64_t nb3 = nbx * nby * nbz;
+
+    // static per-core tables (identical construction to
+    // marching_device._index_tables): core-major flat order
+    // lflat = (li*8 + lj)*8 + lk
+    std::int16_t core_flat[kCores];
+    std::int16_t hi_flat[7][kCores];
+    std::int16_t corner_flat[8][kCores];
+    for (int li = 0; li < kB; ++li)
+      for (int lj = 0; lj < kB; ++lj)
+        for (int lk = 0; lk < kB; ++lk) {
+          int c = (li * kB + lj) * kB + lk;
+          core_flat[c] =
+              static_cast<std::int16_t>((li * kH + lj) * kH + lk);
+          for (int d = 0; d < 7; ++d)
+            hi_flat[d][c] = static_cast<std::int16_t>(
+                ((li + dirs[d * 3]) * kH + (lj + dirs[d * 3 + 1])) * kH +
+                (lk + dirs[d * 3 + 2]));
+          for (int cn = 0; cn < 8; ++cn)
+            corner_flat[cn][c] = static_cast<std::int16_t>(
+                ((li + corners[cn * 3]) * kH + (lj + corners[cn * 3 + 1])) *
+                    kH +
+                (lk + corners[cn * 3 + 2]));
+        }
+
+    // ---- pass 1: per-core live-edge bitmasks + exclusive vertex bases ---
+    std::vector<std::uint8_t> lf_all(static_cast<std::size_t>(L) * kCores);
+    std::vector<std::int64_t> cvbase(static_cast<std::size_t>(L) * kCores);
+    std::int64_t vtot = 0;
+    for (std::int64_t r = 0; r < L; ++r) {
+      const std::uint32_t* w = words + r * words_per_block;
+      const std::int64_t bid = bids[r];
+      const std::int64_t bx = bid / (nby * nbz);
+      const std::int64_t by = (bid / nbz) % nby;
+      const std::int64_t bz = bid % nbz;
+      // per-axis bounds flags: ok0 = coordinate in grid, ok1 = has a +1
+      // neighbour in grid
+      bool x0[kB], x1[kB], y0[kB], y1[kB], z0[kB], z1[kB];
+      for (int l = 0; l < kB; ++l) {
+        x0[l] = bx * kB + l <= nx - 1;
+        x1[l] = bx * kB + l <= nx - 2;
+        y0[l] = by * kB + l <= ny - 1;
+        y1[l] = by * kB + l <= ny - 2;
+        z0[l] = bz * kB + l <= nz - 1;
+        z1[l] = bz * kB + l <= nz - 2;
+      }
+      std::uint8_t s[kHalo];
+      for (int k = 0; k < kHalo; ++k) s[k] = halo_bit(w, k);
+      std::uint8_t* lf = lf_all.data() + r * kCores;
+      std::int64_t* cv = cvbase.data() + r * kCores;
+      for (int c = 0; c < kCores; ++c) {
+        const int li = c >> 6, lj = (c >> 3) & 7, lk = c & 7;
+        const std::uint8_t s_lo = s[core_flat[c]];
+        std::uint8_t bits = 0;
+        for (int d = 0; d < 7; ++d) {
+          const bool okd = (dirs[d * 3] ? x1[li] : x0[li]) &&
+                           (dirs[d * 3 + 1] ? y1[lj] : y0[lj]) &&
+                           (dirs[d * 3 + 2] ? z1[lk] : z0[lk]);
+          if (okd && s_lo != s[hi_flat[d][c]]) bits |= 1u << d;
+        }
+        lf[c] = bits;
+        cv[c] = vtot;
+        vtot += __builtin_popcount(bits);
+      }
+    }
+
+    // inverse block map (block id -> wire row) for cross-block edge owners
+    std::vector<std::int32_t> inv(static_cast<std::size_t>(nb3), -1);
+    for (std::int64_t r = 0; r < L; ++r)
+      inv[static_cast<std::size_t>(bids[r])] = static_cast<std::int32_t>(r);
+
+    auto out = std::make_unique<WireDecoded>();
+    out->vslots.resize(static_cast<std::size_t>(vtot));
+    out->faces.reserve(static_cast<std::size_t>(vtot) * 2 * 3);
+
+    // ---- pass 2: vertices (core-major, ascending d) + triangle emission
+    // (cube-major, tet-major, k-ascending) — numpy enumeration order ----
+    for (std::int64_t r = 0; r < L; ++r) {
+      const std::uint32_t* w = words + r * words_per_block;
+      const std::int64_t bid = bids[r];
+      const std::int64_t bx = bid / (nby * nbz);
+      const std::int64_t by = (bid / nbz) % nby;
+      const std::int64_t bz = bid % nbz;
+      std::uint8_t s[kHalo];
+      for (int k = 0; k < kHalo; ++k) s[k] = halo_bit(w, k);
+      const std::uint8_t* lf = lf_all.data() + r * kCores;
+      bool x1[kB], y1[kB], z1[kB];
+      for (int l = 0; l < kB; ++l) {
+        x1[l] = bx * kB + l <= nx - 2;
+        y1[l] = by * kB + l <= ny - 2;
+        z1[l] = bz * kB + l <= nz - 2;
+      }
+      for (int c = 0; c < kCores; ++c) {
+        const int li = c >> 6, lj = (c >> 3) & 7, lk = c & 7;
+        // vertices owned by this core
+        std::uint8_t bits = lf[c];
+        if (bits) {
+          const std::int64_t gx = bx * kB + li;
+          const std::int64_t gy = by * kB + lj;
+          const std::int64_t gz = bz * kB + lk;
+          const std::int64_t gid7 = ((gx * ny + gy) * nz + gz) * 7;
+          std::int64_t vi = cvbase[r * kCores + c];
+          while (bits) {
+            const int d = __builtin_ctz(bits);
+            out->vslots[static_cast<std::size_t>(vi++)] = gid7 + d;
+            bits &= bits - 1;
+          }
+        }
+        // triangles from the cube at this core
+        if (!(x1[li] && y1[lj] && z1[lk])) continue;
+        std::uint8_t corner_s[8];
+        int csum = 0;
+        for (int cn = 0; cn < 8; ++cn) {
+          corner_s[cn] = s[corner_flat[cn][c]];
+          csum += corner_s[cn];
+        }
+        if (csum == 0 || csum == 8) continue;
+        for (int tet = 0; tet < 6; ++tet) {
+          int cs = 0;
+          for (int bit = 0; bit < 4; ++bit)
+            cs |= static_cast<int>(corner_s[tets[tet * 4 + bit]]) << bit;
+          const int nt = ntris[cs];
+          for (int k = 0; k < nt; ++k) {
+            const std::int32_t pt = ptbl[(tet * 16 + cs) * 2 + k];
+            std::int64_t col[3];
+            for (int j = 0; j < 3; ++j) {
+              const int lo_c = (pt >> (6 * j)) & 7;
+              const int d_e = (pt >> (6 * j + 3)) & 7;
+              const int lxe = li + (lo_c >> 2);
+              const int lye = lj + ((lo_c >> 1) & 1);
+              const int lze = lk + (lo_c & 1);
+              const std::int64_t obid =
+                  ((bx + (lxe >> 3)) * nby + (by + (lye >> 3))) * nbz +
+                  (bz + (lze >> 3));
+              const std::int32_t orow = inv[static_cast<std::size_t>(obid)];
+              if (orow < 0) {
+                g_wire_err =
+                    "sdfnet_wire_decode: edge owner block not live";
+                return nullptr;
+              }
+              const std::int64_t ci =
+                  static_cast<std::int64_t>(orow) * kCores +
+                  ((lxe & 7) * kB + (lye & 7)) * kB + (lze & 7);
+              const int rank = __builtin_popcount(
+                  lf_all[static_cast<std::size_t>(ci)] &
+                  ((1u << d_e) - 1u));
+              col[j] = cvbase[static_cast<std::size_t>(ci)] + rank;
+            }
+            if ((pt >> 18) & 1) std::swap(col[0], col[2]);
+            out->faces.push_back(col[0]);
+            out->faces.push_back(col[1]);
+            out->faces.push_back(col[2]);
+          }
+        }
+      }
+    }
+
+    *v_count = vtot;
+    *t_count = static_cast<std::int64_t>(out->faces.size() / 3);
+    return out.release();
+  } catch (const std::exception& e) {
+    g_wire_err = e.what();
+    return nullptr;
+  }
+}
+
+int sdfnet_wire_fetch(const void* handle, std::int64_t* vslots,
+                      std::int64_t* faces) {
+  if (!handle) {
+    g_wire_err = "sdfnet_wire_fetch: NULL handle";
+    return -1;
+  }
+  const auto* h = static_cast<const WireDecoded*>(handle);
+  if (vslots && !h->vslots.empty())
+    std::memcpy(vslots, h->vslots.data(),
+                h->vslots.size() * sizeof(std::int64_t));
+  if (faces && !h->faces.empty())
+    std::memcpy(faces, h->faces.data(),
+                h->faces.size() * sizeof(std::int64_t));
+  return 0;
+}
+
+void sdfnet_wire_free(void* handle) {
+  delete static_cast<WireDecoded*>(handle);
+}
+
+}  // extern "C"

@@ -652,6 +652,89 @@ def _index_tables():
     return _IDX_TABLES
 
 
+_WIRE_LIB = None  # None = untried; False = unavailable; else bound CDLL
+
+
+def _get_wire_lib():
+    """The native packed-wire decoder (native/src/wire_decode.cpp) inside
+    build/libsdfnet_c.so, or None. The numpy decode below is the reference
+    implementation and the fallback; SDF_WIRE_DECODE=numpy forces it (the
+    parity tests A/B the two). SDF_WIRE_LIB overrides the library path."""
+    global _WIRE_LIB
+    if _WIRE_LIB is not None:
+        return _WIRE_LIB or None
+    if os.environ.get("SDF_WIRE_DECODE", "native") != "native":
+        _WIRE_LIB = False
+        return None
+    import ctypes
+
+    path = os.environ.get("SDF_WIRE_LIB")
+    if path is None:
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        path = os.path.join(repo, "build", "libsdfnet_c.so")
+    try:
+        lib = ctypes.CDLL(path)
+        lib.sdfnet_wire_decode  # older builds lack the symbol
+    except (OSError, AttributeError):
+        _WIRE_LIB = False
+        return None
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.sdfnet_wire_decode.restype = ctypes.c_void_p
+    lib.sdfnet_wire_decode.argtypes = [
+        u32p, ctypes.c_int64, ctypes.c_int32, i64p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        i32p, i32p, i32p, i32p, i32p, i64p, i64p,
+    ]
+    lib.sdfnet_wire_fetch.restype = ctypes.c_int
+    lib.sdfnet_wire_fetch.argtypes = [ctypes.c_void_p, i64p, i64p]
+    lib.sdfnet_wire_free.argtypes = [ctypes.c_void_p]
+    lib.sdfnet_wire_last_error.restype = ctypes.c_char_p
+    _WIRE_LIB = lib
+    return lib
+
+
+def _decode_packed_wire_native(words, t_q, bids, shape):
+    """decode_packed_wire through the C++ decoder; None if unavailable.
+    Same tables, same arithmetic, same enumeration order — outputs are
+    np.array_equal with the numpy path (tests/test_marching.py)."""
+    lib = _get_wire_lib()
+    if lib is None:
+        return None
+    import ctypes
+
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    w = np.ascontiguousarray(np.asarray(words, np.uint32))
+    bids64 = np.ascontiguousarray(np.asarray(bids, np.int64))
+    tabs = [np.ascontiguousarray(a.astype(np.int32)) for a in
+            (_DIRS, _CORNERS, _TETS, _NTRIS_NP, _PTBL_NP)]
+    vc, tc = ctypes.c_int64(0), ctypes.c_int64(0)
+    h = lib.sdfnet_wire_decode(
+        w.ctypes.data_as(u32p), len(bids64), w.shape[1],
+        bids64.ctypes.data_as(i64p),
+        int(shape[0]), int(shape[1]), int(shape[2]),
+        *(a.ctypes.data_as(i32p) for a in tabs),
+        ctypes.byref(vc), ctypes.byref(tc),
+    )
+    if not h:
+        raise RuntimeError(
+            f"native wire decode: {lib.sdfnet_wire_last_error().decode()}"
+        )
+    try:
+        vslots = np.empty(vc.value, np.int64)
+        faces = np.empty((tc.value, 3), np.int64)
+        lib.sdfnet_wire_fetch(
+            h, vslots.ctypes.data_as(i64p), faces.ctypes.data_as(i64p)
+        )
+    finally:
+        lib.sdfnet_wire_free(h)
+    return vslots, np.asarray(t_q, np.float64) / 65535.0, faces
+
+
 _POP7 = np.array([bin(i).count("1") for i in range(128)], np.uint8)
 # ascending set-bit positions per 7-bit value (padded with 0): vectorized
 # set-bit enumeration without a python-level nonzero over an (N, 7) blowup
@@ -694,6 +777,9 @@ def decode_packed_wire(words, t_q, bids, shape):
     if L == 0:
         return (np.zeros(0, np.int64), np.zeros(0, np.float64),
                 np.zeros((0, 3), np.int64))
+    native = _decode_packed_wire_native(words, t_q, bids, shape)
+    if native is not None:
+        return native
     w = np.ascontiguousarray(np.asarray(words, np.uint32))
     # little-endian uint32 words: flattened halo bit k == unpacked bit k
     sgb = np.unpackbits(

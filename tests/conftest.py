@@ -44,3 +44,25 @@ def test_config_path(tmp_path_factory):
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def native_build(tmp_path_factory):
+    """Configure + build the native tree once per session; returns the build
+    dir (parity_main, deeptrace, bench_native, libsdfnet_c.so)."""
+    import shutil
+    import subprocess
+
+    if shutil.which("cmake") is None:
+        pytest.skip("cmake not available")
+    build = tmp_path_factory.mktemp("native_build")
+    src = str(REPO_DIR / "native")
+    subprocess.run(
+        ["cmake", "-S", src, "-B", str(build), "-DCMAKE_BUILD_TYPE=Release"],
+        check=True, capture_output=True,
+    )
+    subprocess.run(
+        ["cmake", "--build", str(build), "-j", "8"],
+        check=True, capture_output=True,
+    )
+    return str(build)

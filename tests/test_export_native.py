@@ -3,7 +3,6 @@ conversion_test pattern: export -> independent runtime -> elementwise diff,
 cf. reference ops/conversion_test/difference.csv ~1e-7)."""
 
 import os
-import shutil
 import subprocess
 
 import jax
@@ -72,20 +71,8 @@ def test_onnx_structure(tmp_path, model_and_params):
     assert pb.fields(pb.decode(opsets[0]), 2)[0] == 15
 
 
-@pytest.fixture(scope="session")
-def native_build(tmp_path_factory):
-    if shutil.which("cmake") is None:
-        pytest.skip("cmake not available")
-    build = tmp_path_factory.mktemp("native_build")
-    src = os.path.join(REPO, "native")
-    subprocess.run(
-        ["cmake", "-S", src, "-B", str(build), "-DCMAKE_BUILD_TYPE=Release"],
-        check=True, capture_output=True,
-    )
-    subprocess.run(
-        ["cmake", "--build", str(build), "-j", "8"], check=True, capture_output=True
-    )
-    return str(build)
+# native_build fixture lives in conftest.py (shared with test_marching's
+# wire-decode parity test)
 
 
 def test_native_parity(tmp_path, model_and_params, native_build):

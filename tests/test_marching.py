@@ -299,3 +299,48 @@ print("SCATTER_MODE_OK")
     r = subprocess.run([sys.executable, "-c", code], env=env,
                        capture_output=True, text=True, timeout=600)
     assert "SCATTER_MODE_OK" in r.stdout, r.stdout + r.stderr
+
+
+def test_wire_decode_native_matches_numpy(native_build, monkeypatch):
+    """The C++ packed-wire decoder (native/src/wire_decode.cpp) is
+    np.array_equal with the numpy reference decode — vertex ids, vertex
+    ORDER, faces, face order — across cubic / non-cubic / boundary-straddle
+    shapes, random smoothed-noise fields, and level != 0. The C++ pass is
+    what production runs (the numpy decode dominated single-core field->mesh
+    wall-clock ~73:1 over device work at 512^3)."""
+    import jax.numpy as jnp
+
+    from sdf_representation_tpu.ops import marching_device as md
+    from sdf_representation_tpu.ops.marching_device import (
+        marching_tets_device_packed,
+    )
+
+    monkeypatch.setenv(
+        "SDF_WIRE_LIB", os.path.join(native_build, "libsdfnet_c.so")
+    )
+    rng_l = np.random.default_rng(11)
+    cases = [((40, 40, 40), 0.0), ((13, 21, 9), 0.1), ((24, 33, 16), -0.05),
+             ((8, 8, 8), 0.0)]
+    try:
+        for shape, level in cases:
+            vol = rng_l.normal(size=shape).astype(np.float32)
+            for ax in range(3):
+                vol = (np.roll(vol, 1, ax) + vol + np.roll(vol, -1, ax)) / 3
+            volj = jnp.asarray(vol)
+
+            monkeypatch.setenv("SDF_WIRE_DECODE", "numpy")
+            md._WIRE_LIB = None
+            vs_n, t_n, f_n, _ = marching_tets_device_packed(volj, level)
+
+            monkeypatch.setenv("SDF_WIRE_DECODE", "native")
+            md._WIRE_LIB = None
+            assert md._get_wire_lib() is not None, "native decoder not loaded"
+            vs_c, t_c, f_c, _ = marching_tets_device_packed(volj, level)
+
+            np.testing.assert_array_equal(vs_c, vs_n)
+            np.testing.assert_array_equal(f_c, f_n)
+            np.testing.assert_array_equal(t_c, t_n)
+            assert len(vs_n) > 0 and len(f_n) > 0, (shape, level)
+    finally:
+        # later tests must re-resolve the decoder against the default path
+        md._WIRE_LIB = None
