@@ -9,10 +9,11 @@
 // path, and the vectorized-numpy version of it dominated end-to-end
 // wall-clock on the single-core relay host (~73 s at 512^3 vs ~1 s of
 // device work, measured round 5). This C++ pass rebuilds the identical
-// topology in two cache-friendly sweeps.
+// topology in cache-friendly sweeps, parallelized over contiguous row
+// ranges (deterministic: outputs are identical at any thread count).
 //
 // Parity contract: bit-for-bit the same arithmetic as
-// decode_packed_wire() (marching_device.py:666) — the caller passes in the
+// decode_packed_wire() (marching_device.py) — the caller passes in the
 // SAME direction/corner/tet/case tables the Python path uses, so the two
 // decoders cannot drift. Vertex order is (block row, core, ascending
 // direction); face order is (block row, core, tet, k); both match numpy's
@@ -27,19 +28,24 @@
 //                        faces  /* t_count x 3 int64, flip-applied */)
 //   sdfnet_wire_free(h)
 //   sdfnet_wire_last_error()
+// Threads: SDF_WIRE_THREADS env (default: hardware concurrency).
 
+#include <algorithm>
+#include <atomic>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <memory>
 #include <string>
+#include <thread>
 #include <vector>
 
 namespace {
 
-constexpr int kB = 8;             // core block edge (points)
-constexpr int kH = kB + 1;        // halo region edge
-constexpr int kHalo = kH * kH * kH;  // 729 sign bits per block
-constexpr int kCores = kB * kB * kB; // 512 cores per block
+constexpr int kB = 8;                 // core block edge (points)
+constexpr int kH = kB + 1;            // halo region edge
+constexpr int kHalo = kH * kH * kH;   // 729 sign bits per block
+constexpr int kCores = kB * kB * kB;  // 512 cores per block
 
 thread_local std::string g_wire_err;
 
@@ -50,6 +56,30 @@ struct WireDecoded {
 
 inline int halo_bit(const std::uint32_t* w, int k) {
   return (w[k >> 5] >> (k & 31)) & 1u;
+}
+
+struct Tables {
+  std::int16_t core_flat[kCores];
+  std::int16_t hi_flat[7][kCores];
+  std::int16_t corner_flat[8][kCores];
+};
+
+// run fn(range_index, row_begin, row_end) over nt contiguous row ranges
+template <typename F>
+void run_ranges(std::int64_t L, int nt, F fn) {
+  if (nt <= 1) {
+    fn(0, 0, L);
+    return;
+  }
+  std::vector<std::thread> ts;
+  ts.reserve(nt);
+  const std::int64_t per = (L + nt - 1) / nt;
+  for (int i = 0; i < nt; ++i) {
+    const std::int64_t b = i * per, e = std::min<std::int64_t>(L, b + per);
+    if (b >= e) break;
+    ts.emplace_back([=] { fn(i, b, e); });
+  }
+  for (auto& t : ts) t.join();
 }
 
 }  // namespace
@@ -77,69 +107,99 @@ void* sdfnet_wire_decode(
     const std::int64_t nbz = (nz + kB - 1) / kB;
     const std::int64_t nb3 = nbx * nby * nbz;
 
+    // SDF_WIRE_THREADS forces an exact thread count (tests exercise
+    // multithreaded ranges at tiny L this way); otherwise hardware
+    // concurrency clamped so each range holds a few thousand blocks
+    int nt = 0;
+    if (const char* env = std::getenv("SDF_WIRE_THREADS")) nt = atoi(env);
+    if (nt <= 0) {
+      nt = static_cast<int>(std::thread::hardware_concurrency());
+      if (nt <= 0) nt = 1;
+      nt = static_cast<int>(
+          std::min<std::int64_t>(nt, std::max<std::int64_t>(1, L / 2048)));
+    }
+    nt = static_cast<int>(std::min<std::int64_t>(nt, std::max<std::int64_t>(L, 1)));
+
     // static per-core tables (identical construction to
     // marching_device._index_tables): core-major flat order
     // lflat = (li*8 + lj)*8 + lk
-    std::int16_t core_flat[kCores];
-    std::int16_t hi_flat[7][kCores];
-    std::int16_t corner_flat[8][kCores];
+    auto tabs = std::make_unique<Tables>();
     for (int li = 0; li < kB; ++li)
       for (int lj = 0; lj < kB; ++lj)
         for (int lk = 0; lk < kB; ++lk) {
           int c = (li * kB + lj) * kB + lk;
-          core_flat[c] =
+          tabs->core_flat[c] =
               static_cast<std::int16_t>((li * kH + lj) * kH + lk);
           for (int d = 0; d < 7; ++d)
-            hi_flat[d][c] = static_cast<std::int16_t>(
+            tabs->hi_flat[d][c] = static_cast<std::int16_t>(
                 ((li + dirs[d * 3]) * kH + (lj + dirs[d * 3 + 1])) * kH +
                 (lk + dirs[d * 3 + 2]));
           for (int cn = 0; cn < 8; ++cn)
-            corner_flat[cn][c] = static_cast<std::int16_t>(
+            tabs->corner_flat[cn][c] = static_cast<std::int16_t>(
                 ((li + corners[cn * 3]) * kH + (lj + corners[cn * 3 + 1])) *
                     kH +
                 (lk + corners[cn * 3 + 2]));
         }
+    const Tables& T = *tabs;
 
-    // ---- pass 1: per-core live-edge bitmasks + exclusive vertex bases ---
+    // ---- pass 1 (parallel): per-core live-edge bitmasks + per-row vertex
+    // counts ----
     std::vector<std::uint8_t> lf_all(static_cast<std::size_t>(L) * kCores);
-    std::vector<std::int64_t> cvbase(static_cast<std::size_t>(L) * kCores);
-    std::int64_t vtot = 0;
-    for (std::int64_t r = 0; r < L; ++r) {
-      const std::uint32_t* w = words + r * words_per_block;
-      const std::int64_t bid = bids[r];
-      const std::int64_t bx = bid / (nby * nbz);
-      const std::int64_t by = (bid / nbz) % nby;
-      const std::int64_t bz = bid % nbz;
-      // per-axis bounds flags: ok0 = coordinate in grid, ok1 = has a +1
-      // neighbour in grid
-      bool x0[kB], x1[kB], y0[kB], y1[kB], z0[kB], z1[kB];
-      for (int l = 0; l < kB; ++l) {
-        x0[l] = bx * kB + l <= nx - 1;
-        x1[l] = bx * kB + l <= nx - 2;
-        y0[l] = by * kB + l <= ny - 1;
-        y1[l] = by * kB + l <= ny - 2;
-        z0[l] = bz * kB + l <= nz - 1;
-        z1[l] = bz * kB + l <= nz - 2;
-      }
-      std::uint8_t s[kHalo];
-      for (int k = 0; k < kHalo; ++k) s[k] = halo_bit(w, k);
-      std::uint8_t* lf = lf_all.data() + r * kCores;
-      std::int64_t* cv = cvbase.data() + r * kCores;
-      for (int c = 0; c < kCores; ++c) {
-        const int li = c >> 6, lj = (c >> 3) & 7, lk = c & 7;
-        const std::uint8_t s_lo = s[core_flat[c]];
-        std::uint8_t bits = 0;
-        for (int d = 0; d < 7; ++d) {
-          const bool okd = (dirs[d * 3] ? x1[li] : x0[li]) &&
-                           (dirs[d * 3 + 1] ? y1[lj] : y0[lj]) &&
-                           (dirs[d * 3 + 2] ? z1[lk] : z0[lk]);
-          if (okd && s_lo != s[hi_flat[d][c]]) bits |= 1u << d;
+    std::vector<std::int64_t> vrow(static_cast<std::size_t>(L) + 1, 0);
+    run_ranges(L, nt, [&](int, std::int64_t rb, std::int64_t re) {
+      for (std::int64_t r = rb; r < re; ++r) {
+        const std::uint32_t* w = words + r * words_per_block;
+        const std::int64_t bid = bids[r];
+        const std::int64_t bx = bid / (nby * nbz);
+        const std::int64_t by = (bid / nbz) % nby;
+        const std::int64_t bz = bid % nbz;
+        // per-axis bounds flags: ok0 = coordinate in grid, ok1 = has a +1
+        // neighbour in grid
+        bool x0[kB], x1[kB], y0[kB], y1[kB], z0[kB], z1[kB];
+        for (int l = 0; l < kB; ++l) {
+          x0[l] = bx * kB + l <= nx - 1;
+          x1[l] = bx * kB + l <= nx - 2;
+          y0[l] = by * kB + l <= ny - 1;
+          y1[l] = by * kB + l <= ny - 2;
+          z0[l] = bz * kB + l <= nz - 1;
+          z1[l] = bz * kB + l <= nz - 2;
         }
-        lf[c] = bits;
-        cv[c] = vtot;
-        vtot += __builtin_popcount(bits);
+        std::uint8_t s[kHalo];
+        for (int k = 0; k < kHalo; ++k) s[k] = halo_bit(w, k);
+        std::uint8_t* lf = lf_all.data() + r * kCores;
+        std::int64_t nv = 0;
+        for (int c = 0; c < kCores; ++c) {
+          const int li = c >> 6, lj = (c >> 3) & 7, lk = c & 7;
+          const std::uint8_t s_lo = s[T.core_flat[c]];
+          std::uint8_t bits = 0;
+          for (int d = 0; d < 7; ++d) {
+            const bool okd = (dirs[d * 3] ? x1[li] : x0[li]) &&
+                             (dirs[d * 3 + 1] ? y1[lj] : y0[lj]) &&
+                             (dirs[d * 3 + 2] ? z1[lk] : z0[lk]);
+            if (okd && s_lo != s[T.hi_flat[d][c]]) bits |= 1u << d;
+          }
+          lf[c] = bits;
+          nv += __builtin_popcount(bits);
+        }
+        vrow[r + 1] = nv;
       }
-    }
+    });
+    for (std::int64_t r = 0; r < L; ++r) vrow[r + 1] += vrow[r];
+    const std::int64_t vtot = vrow[L];
+
+    // per-core exclusive vertex bases (parallel fill from the row bases)
+    std::vector<std::int64_t> cvbase(static_cast<std::size_t>(L) * kCores);
+    run_ranges(L, nt, [&](int, std::int64_t rb, std::int64_t re) {
+      for (std::int64_t r = rb; r < re; ++r) {
+        const std::uint8_t* lf = lf_all.data() + r * kCores;
+        std::int64_t* cv = cvbase.data() + r * kCores;
+        std::int64_t acc = vrow[r];
+        for (int c = 0; c < kCores; ++c) {
+          cv[c] = acc;
+          acc += __builtin_popcount(lf[c]);
+        }
+      }
+    });
 
     // inverse block map (block id -> wire row) for cross-block edge owners
     std::vector<std::int32_t> inv(static_cast<std::size_t>(nb3), -1);
@@ -148,89 +208,108 @@ void* sdfnet_wire_decode(
 
     auto out = std::make_unique<WireDecoded>();
     out->vslots.resize(static_cast<std::size_t>(vtot));
-    out->faces.reserve(static_cast<std::size_t>(vtot) * 2 * 3);
 
-    // ---- pass 2: vertices (core-major, ascending d) + triangle emission
-    // (cube-major, tet-major, k-ascending) — numpy enumeration order ----
-    for (std::int64_t r = 0; r < L; ++r) {
-      const std::uint32_t* w = words + r * words_per_block;
-      const std::int64_t bid = bids[r];
-      const std::int64_t bx = bid / (nby * nbz);
-      const std::int64_t by = (bid / nbz) % nby;
-      const std::int64_t bz = bid % nbz;
-      std::uint8_t s[kHalo];
-      for (int k = 0; k < kHalo; ++k) s[k] = halo_bit(w, k);
-      const std::uint8_t* lf = lf_all.data() + r * kCores;
-      bool x1[kB], y1[kB], z1[kB];
-      for (int l = 0; l < kB; ++l) {
-        x1[l] = bx * kB + l <= nx - 2;
-        y1[l] = by * kB + l <= ny - 2;
-        z1[l] = bz * kB + l <= nz - 2;
-      }
-      for (int c = 0; c < kCores; ++c) {
-        const int li = c >> 6, lj = (c >> 3) & 7, lk = c & 7;
-        // vertices owned by this core
-        std::uint8_t bits = lf[c];
-        if (bits) {
-          const std::int64_t gx = bx * kB + li;
-          const std::int64_t gy = by * kB + lj;
-          const std::int64_t gz = bz * kB + lk;
-          const std::int64_t gid7 = ((gx * ny + gy) * nz + gz) * 7;
-          std::int64_t vi = cvbase[r * kCores + c];
-          while (bits) {
-            const int d = __builtin_ctz(bits);
-            out->vslots[static_cast<std::size_t>(vi++)] = gid7 + d;
-            bits &= bits - 1;
-          }
+    // ---- pass 2 (parallel): vertices (core-major, ascending d) written at
+    // their exact cvbase offsets, triangles (cube-major, tet-major,
+    // k-ascending) into per-range buffers concatenated in range order —
+    // numpy enumeration order at any thread count ----
+    const int nranges = nt;
+    std::vector<std::vector<std::int64_t>> faces_r(
+        static_cast<std::size_t>(nranges));
+    std::atomic<bool> owner_missing{false};
+    run_ranges(L, nt, [&](int ri, std::int64_t rb, std::int64_t re) {
+      std::vector<std::int64_t>& faces =
+          faces_r[static_cast<std::size_t>(ri)];
+      faces.reserve(static_cast<std::size_t>(vrow[re] - vrow[rb]) * 2 * 3);
+      for (std::int64_t r = rb; r < re; ++r) {
+        const std::uint32_t* w = words + r * words_per_block;
+        const std::int64_t bid = bids[r];
+        const std::int64_t bx = bid / (nby * nbz);
+        const std::int64_t by = (bid / nbz) % nby;
+        const std::int64_t bz = bid % nbz;
+        std::uint8_t s[kHalo];
+        for (int k = 0; k < kHalo; ++k) s[k] = halo_bit(w, k);
+        const std::uint8_t* lf = lf_all.data() + r * kCores;
+        bool x1[kB], y1[kB], z1[kB];
+        for (int l = 0; l < kB; ++l) {
+          x1[l] = bx * kB + l <= nx - 2;
+          y1[l] = by * kB + l <= ny - 2;
+          z1[l] = bz * kB + l <= nz - 2;
         }
-        // triangles from the cube at this core
-        if (!(x1[li] && y1[lj] && z1[lk])) continue;
-        std::uint8_t corner_s[8];
-        int csum = 0;
-        for (int cn = 0; cn < 8; ++cn) {
-          corner_s[cn] = s[corner_flat[cn][c]];
-          csum += corner_s[cn];
-        }
-        if (csum == 0 || csum == 8) continue;
-        for (int tet = 0; tet < 6; ++tet) {
-          int cs = 0;
-          for (int bit = 0; bit < 4; ++bit)
-            cs |= static_cast<int>(corner_s[tets[tet * 4 + bit]]) << bit;
-          const int nt = ntris[cs];
-          for (int k = 0; k < nt; ++k) {
-            const std::int32_t pt = ptbl[(tet * 16 + cs) * 2 + k];
-            std::int64_t col[3];
-            for (int j = 0; j < 3; ++j) {
-              const int lo_c = (pt >> (6 * j)) & 7;
-              const int d_e = (pt >> (6 * j + 3)) & 7;
-              const int lxe = li + (lo_c >> 2);
-              const int lye = lj + ((lo_c >> 1) & 1);
-              const int lze = lk + (lo_c & 1);
-              const std::int64_t obid =
-                  ((bx + (lxe >> 3)) * nby + (by + (lye >> 3))) * nbz +
-                  (bz + (lze >> 3));
-              const std::int32_t orow = inv[static_cast<std::size_t>(obid)];
-              if (orow < 0) {
-                g_wire_err =
-                    "sdfnet_wire_decode: edge owner block not live";
-                return nullptr;
-              }
-              const std::int64_t ci =
-                  static_cast<std::int64_t>(orow) * kCores +
-                  ((lxe & 7) * kB + (lye & 7)) * kB + (lze & 7);
-              const int rank = __builtin_popcount(
-                  lf_all[static_cast<std::size_t>(ci)] &
-                  ((1u << d_e) - 1u));
-              col[j] = cvbase[static_cast<std::size_t>(ci)] + rank;
+        for (int c = 0; c < kCores; ++c) {
+          const int li = c >> 6, lj = (c >> 3) & 7, lk = c & 7;
+          // vertices owned by this core
+          std::uint8_t bits = lf[c];
+          if (bits) {
+            const std::int64_t gx = bx * kB + li;
+            const std::int64_t gy = by * kB + lj;
+            const std::int64_t gz = bz * kB + lk;
+            const std::int64_t gid7 = ((gx * ny + gy) * nz + gz) * 7;
+            std::int64_t vi = cvbase[r * kCores + c];
+            while (bits) {
+              const int d = __builtin_ctz(bits);
+              out->vslots[static_cast<std::size_t>(vi++)] = gid7 + d;
+              bits &= bits - 1;
             }
-            if ((pt >> 18) & 1) std::swap(col[0], col[2]);
-            out->faces.push_back(col[0]);
-            out->faces.push_back(col[1]);
-            out->faces.push_back(col[2]);
+          }
+          // triangles from the cube at this core
+          if (!(x1[li] && y1[lj] && z1[lk])) continue;
+          std::uint8_t corner_s[8];
+          int csum = 0;
+          for (int cn = 0; cn < 8; ++cn) {
+            corner_s[cn] = s[T.corner_flat[cn][c]];
+            csum += corner_s[cn];
+          }
+          if (csum == 0 || csum == 8) continue;
+          for (int tet = 0; tet < 6; ++tet) {
+            int cs = 0;
+            for (int bit = 0; bit < 4; ++bit)
+              cs |= static_cast<int>(corner_s[tets[tet * 4 + bit]]) << bit;
+            const int ntr = ntris[cs];
+            for (int k = 0; k < ntr; ++k) {
+              const std::int32_t pt = ptbl[(tet * 16 + cs) * 2 + k];
+              std::int64_t col[3];
+              for (int j = 0; j < 3; ++j) {
+                const int lo_c = (pt >> (6 * j)) & 7;
+                const int d_e = (pt >> (6 * j + 3)) & 7;
+                const int lxe = li + (lo_c >> 2);
+                const int lye = lj + ((lo_c >> 1) & 1);
+                const int lze = lk + (lo_c & 1);
+                const std::int64_t obid =
+                    ((bx + (lxe >> 3)) * nby + (by + (lye >> 3))) * nbz +
+                    (bz + (lze >> 3));
+                const std::int32_t orow =
+                    inv[static_cast<std::size_t>(obid)];
+                if (orow < 0) {
+                  owner_missing.store(true, std::memory_order_relaxed);
+                  return;
+                }
+                const std::int64_t ci =
+                    static_cast<std::int64_t>(orow) * kCores +
+                    ((lxe & 7) * kB + (lye & 7)) * kB + (lze & 7);
+                const int rank = __builtin_popcount(
+                    lf_all[static_cast<std::size_t>(ci)] &
+                    ((1u << d_e) - 1u));
+                col[j] = cvbase[static_cast<std::size_t>(ci)] + rank;
+              }
+              if ((pt >> 18) & 1) std::swap(col[0], col[2]);
+              faces.push_back(col[0]);
+              faces.push_back(col[1]);
+              faces.push_back(col[2]);
+            }
           }
         }
       }
+    });
+    if (owner_missing.load()) {
+      g_wire_err = "sdfnet_wire_decode: edge owner block not live";
+      return nullptr;
     }
+    std::size_t ftot = 0;
+    for (const auto& f : faces_r) ftot += f.size();
+    out->faces.reserve(ftot);
+    for (const auto& f : faces_r)
+      out->faces.insert(out->faces.end(), f.begin(), f.end());
 
     *v_count = vtot;
     *t_count = static_cast<std::int64_t>(out->faces.size() / 3);

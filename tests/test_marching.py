@@ -335,11 +335,14 @@ def test_wire_decode_native_matches_numpy(native_build, monkeypatch):
             monkeypatch.setenv("SDF_WIRE_DECODE", "native")
             md._WIRE_LIB = None
             assert md._get_wire_lib() is not None, "native decoder not loaded"
-            vs_c, t_c, f_c, _ = marching_tets_device_packed(volj, level)
-
-            np.testing.assert_array_equal(vs_c, vs_n)
-            np.testing.assert_array_equal(f_c, f_n)
-            np.testing.assert_array_equal(t_c, t_n)
+            # outputs must be identical at ANY thread count (contiguous row
+            # ranges + exact cvbase offsets make the parallelism invisible)
+            for n_threads in ("1", "5"):
+                monkeypatch.setenv("SDF_WIRE_THREADS", n_threads)
+                vs_c, t_c, f_c, _ = marching_tets_device_packed(volj, level)
+                np.testing.assert_array_equal(vs_c, vs_n)
+                np.testing.assert_array_equal(f_c, f_n)
+                np.testing.assert_array_equal(t_c, t_n)
             assert len(vs_n) > 0 and len(f_n) > 0, (shape, level)
     finally:
         # later tests must re-resolve the decoder against the default path
