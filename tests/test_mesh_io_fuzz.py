@@ -204,3 +204,115 @@ def test_point_only_obj_loads(tmp_path):
     p.write_text("v 0 0 0\nv 0 1 0\nv 1 0 0\n")
     mesh = load_mesh(str(p))
     assert mesh.faces.shape == (0, 3) and len(mesh.vertices) == 3
+
+
+@pytest.mark.parametrize("kind", ["stl", "obj", "ply", "stl_ascii", "ply_binary"])
+def test_chunk_mutation_sweep(corpus, tmp_path, kind):
+    """Structure-shifting damage (delete / duplicate / transplant whole byte
+    ranges) — unlike point flips this desynchronizes counts from payloads."""
+    data = corpus[kind]
+    rng = np.random.default_rng(13)
+    p = tmp_path / f"c{_ext(kind)}"
+    for _ in range(48):
+        buf = bytearray(data)
+        a = int(rng.integers(0, max(1, len(buf) - 1)))
+        b = int(min(len(buf), a + rng.integers(1, 64)))
+        op = rng.integers(0, 3)
+        if op == 0:        # delete [a, b)
+            del buf[a:b]
+        elif op == 1:      # duplicate [a, b) in place
+            buf[a:a] = buf[a:b]
+        else:              # transplant [a, b) to a random offset
+            chunk = bytes(buf[a:b])
+            del buf[a:b]
+            c = int(rng.integers(0, max(1, len(buf))))
+            buf[c:c] = chunk
+        p.write_bytes(bytes(buf))
+        _assert_contract(str(p))
+
+
+def test_cross_format_content(corpus, tmp_path):
+    """Bytes of one format behind another format's extension: clean raise or
+    in-contract mesh (e.g. ascii STL sniffing), never an internal error."""
+    for ext_kind in ("stl", "obj", "ply"):
+        for content_kind, blob in corpus.items():
+            p = tmp_path / f"x_{content_kind}.{ext_kind}"
+            p.write_bytes(blob)
+            _assert_contract(str(p))
+
+
+def test_obj_quads_negative_and_slash_indices(tmp_path):
+    """Legal OBJ variants beyond tri faces: quads fan-triangulate, negative
+    indices are relative to the vertices seen so far, and v/vt/vn index
+    triples parse to the vertex index."""
+    p = tmp_path / "var.obj"
+    p.write_text(
+        "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n"
+        "vt 0 0\nvn 0 0 1\n"
+        "f 1/1/1 2/1/1 3/1/1 4/1/1\n"   # quad with slash triples -> 2 tris
+        "f -4 -3 -2\n"                    # negative (relative) indices
+    )
+    mesh = load_mesh(str(p))
+    assert len(mesh.faces) == 3
+    np.testing.assert_array_equal(mesh.faces[0], [0, 1, 2])
+    np.testing.assert_array_equal(mesh.faces[1], [0, 2, 3])
+    np.testing.assert_array_equal(mesh.faces[2], [0, 1, 2])
+
+
+def test_ply_extra_properties(tmp_path):
+    """PLY vertices carrying extra per-vertex properties (normals, colors):
+    x/y/z are picked out by name in ascii; binary skips extra scalars via
+    the structured dtype."""
+    p = tmp_path / "extra.ply"
+    p.write_text(
+        "ply\nformat ascii 1.0\n"
+        "comment produced by a scanner\n"
+        "element vertex 3\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "property float nx\nproperty float ny\nproperty float nz\n"
+        "element face 1\nproperty list uchar int vertex_indices\n"
+        "end_header\n"
+        "0 0 0 0 0 1\n0 1 0 0 0 1\n1 0 0 0 0 1\n"
+        "3 0 1 2\n"
+    )
+    mesh = load_mesh(str(p))
+    assert len(mesh.vertices) == 3 and len(mesh.faces) == 1
+    np.testing.assert_array_equal(mesh.vertices[1], [0, 1, 0])
+
+    b = tmp_path / "extra_bin.ply"
+    v = np.array(
+        [(0, 0, 0, 255), (0, 1, 0, 255), (1, 0, 0, 255)],
+        dtype=[("x", "<f4"), ("y", "<f4"), ("z", "<f4"), ("red", "u1")],
+    )
+    header = (
+        b"ply\nformat binary_little_endian 1.0\n"
+        b"element vertex 3\n"
+        b"property float x\nproperty float y\nproperty float z\n"
+        b"property uchar red\n"
+        b"element face 1\nproperty list uchar int vertex_indices\n"
+        b"end_header\n"
+    )
+    b.write_bytes(header + v.tobytes() + struct.pack("<B3i", 3, 0, 1, 2))
+    mesh = load_mesh(str(b))
+    assert len(mesh.vertices) == 3 and len(mesh.faces) == 1
+    np.testing.assert_array_equal(mesh.vertices[2], [1, 0, 0])
+
+
+def test_ascii_stl_whitespace_variants(tmp_path):
+    """ASCII STL with tabs, blank lines, and scientific-notation coords."""
+    p = tmp_path / "ws.stl"
+    p.write_text(
+        "solid  weird\n\n"
+        "\tfacet normal 0 0 0\n"
+        "\t\touter loop\n"
+        "\t\t\tvertex 0.0e0 0 0\n"
+        "\t\t\tvertex 1E-1 0 0\n\n"
+        "\t\t\tvertex 0 1e+0 0\n"
+        "\t\tendloop\n"
+        "\tendfacet\n"
+        "endsolid weird\n"
+    )
+    mesh = load_mesh(str(p))
+    assert len(mesh.faces) == 1
+    # welding may reorder vertices; the sci-notation coord must be present
+    assert np.isclose(mesh.vertices, [0.1, 0, 0]).all(axis=1).any()
