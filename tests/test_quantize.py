@@ -16,7 +16,7 @@ from sdf_representation_tpu.export.quantize import (
 )
 from sdf_representation_tpu.models import ImplicitNet
 
-from tests.test_export_native import native_build  # noqa: F401 (fixture)
+# native_build fixture lives in tests/conftest.py (session-shared build dir).
 
 
 @pytest.fixture(scope="module")
